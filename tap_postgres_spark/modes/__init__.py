@@ -1,0 +1,3 @@
+from .full_table import full_table_scan  # noqa: F401
+from .incremental import incremental_scan  # noqa: F401
+from .log_based import CdcPipeline  # noqa: F401

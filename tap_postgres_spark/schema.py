@@ -1,0 +1,225 @@
+"""Type system: Postgres → Spark mapping and CDC schema widening.
+
+Re-creates the reference's schema machinery
+(``PostgresSQLToJSONSchema``, /root/reference/tap_postgres/client.py:57-124)
+with Spark ``StructType``s instead of JSON Schema, and the LOG_BASED
+catalog rewrite (/root/reference/tap_postgres/tap.py:693-741,
+client.py:267-285): every property becomes nullable and the
+``_sdc_deleted_at`` / ``_sdc_lsn`` system columns are appended.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# System columns appended to every LOG_BASED stream
+# (reference client.py:282-283; README.md:259-262).
+SDC_LSN = "_sdc_lsn"
+SDC_DELETED_AT = "_sdc_deleted_at"
+
+# Postgres type name (as it appears in wal2json ``columns[].type`` and in
+# catalog discovery) → Spark type.  Mirrors the single-dispatch converter
+# reference client.py:75-124 plus the defaults the Singer SDK supplies.
+_PG_TO_SPARK: dict[str, T.DataType] = {
+    "smallint": T.ShortType(),
+    "int2": T.ShortType(),
+    "integer": T.IntegerType(),
+    "int": T.IntegerType(),
+    "int4": T.IntegerType(),
+    "bigint": T.LongType(),
+    "int8": T.LongType(),
+    "serial": T.IntegerType(),
+    "bigserial": T.LongType(),
+    "real": T.FloatType(),
+    "float4": T.FloatType(),
+    "double precision": T.DoubleType(),
+    "float8": T.DoubleType(),
+    "numeric": T.DecimalType(38, 18),
+    "decimal": T.DecimalType(38, 18),
+    "money": T.DecimalType(19, 2),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "character varying": T.StringType(),
+    "char": T.StringType(),
+    "character": T.StringType(),
+    "bpchar": T.StringType(),
+    "uuid": T.StringType(),
+    "name": T.StringType(),
+    "bytea": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "timestamp without time zone": T.TimestampNTZType(),
+    "timestamp with time zone": T.TimestampType(),
+    "timestamptz": T.TimestampType(),
+    # Postgres TIME serializes as "06:04:19.222000" (reference
+    # tests/test_core.py:196-206); Spark has no time-of-day type → string.
+    "time": T.StringType(),
+    "time without time zone": T.StringType(),
+    "interval": T.StringType(),
+    # json/jsonb default to JSON text (reference client.py:91-102: union
+    # type).  ``json_as_object`` mode maps to MapType below.
+    "json": T.StringType(),
+    "jsonb": T.StringType(),
+    # hstore → object (reference client.py:118-124)
+    "hstore": T.MapType(T.StringType(), T.StringType()),
+    "enum": T.StringType(),
+    "inet": T.StringType(),
+    "cidr": T.StringType(),
+    "macaddr": T.StringType(),
+    "xml": T.StringType(),
+    "tsvector": T.StringType(),
+}
+
+# Type-name substrings treated as numeric for the wal2json
+# empty-string→NULL coercion (reference client.py:49 ``_NUMERIC_TYPES``,
+# applied client.py:621-623).
+NUMERIC_TYPE_SUBSTRINGS: tuple[str, ...] = (
+    "int",
+    "numeric",
+    "decimal",
+    "real",
+    "double",
+    "float",
+    "bigint",
+    "smallint",
+)
+
+
+def pg_type_to_spark(
+    pg_type: str,
+    *,
+    dates_as_string: bool = False,
+    json_as_object: bool = False,
+) -> T.DataType:
+    """Map a Postgres type name to a Spark DataType.
+
+    ``ARRAY(T)`` arrives either as ``T[]`` or ``_T`` and recurses
+    (reference client.py:80-89 ``array_to_jsonschema``).
+
+    ``dates_as_string`` keeps date/time/timestamp columns as strings so
+    BC-era dates (``4713-04-03 BC``) and ``infinity`` — unrepresentable in
+    both Python datetime and Spark — pass through verbatim (reference
+    client.py:144-156, tests/test_core.py:576-653).
+
+    ``json_as_object`` maps json/jsonb to ``map<string,string>`` instead of
+    JSON text (reference client.py:91-102).
+    """
+    name = pg_type.strip().lower()
+    if name.endswith("[]"):
+        return T.ArrayType(
+            pg_type_to_spark(
+                name[:-2], dates_as_string=dates_as_string, json_as_object=json_as_object
+            )
+        )
+    if name.startswith("_"):
+        return T.ArrayType(
+            pg_type_to_spark(
+                name[1:], dates_as_string=dates_as_string, json_as_object=json_as_object
+            )
+        )
+    # strip precision args: numeric(10,2), varchar(255), timestamp(3)
+    base = name.split("(")[0].strip()
+    if dates_as_string and base in (
+        "date",
+        "timestamp",
+        "timestamp without time zone",
+        "timestamp with time zone",
+        "timestamptz",
+    ):
+        return T.StringType()
+    if json_as_object and base in ("json", "jsonb"):
+        return T.MapType(T.StringType(), T.StringType())
+    if base.startswith("numeric") or base.startswith("decimal"):
+        # numeric(p,s) — honor declared precision if present
+        if "(" in name and "," in name:
+            inner = name[name.index("(") + 1 : name.index(")")]
+            p, s = (int(x) for x in inner.split(","))
+            return T.DecimalType(min(p, 38), min(s, 37))
+        return T.DecimalType(38, 18)
+    if base in _PG_TO_SPARK:
+        return _PG_TO_SPARK[base]
+    # Unknown types (custom enums, domains) → string, matching the
+    # reference's fallback behavior (enum handling _wal_helpers.py:17-19).
+    return T.StringType()
+
+
+def is_numeric_pg_type(pg_type: str) -> bool:
+    """True if the wal2json type name gets the ``""`` → NULL coercion
+    (reference client.py:621-623)."""
+    t = pg_type.lower()
+    return any(sub in t for sub in NUMERIC_TYPE_SUBSTRINGS)
+
+
+def widen_for_cdc(schema: T.StructType) -> T.StructType:
+    """LOG_BASED schema rewrite (reference tap.py:693-741).
+
+    Every field becomes nullable (WAL delete events carry only the key
+    columns) and the two ``_sdc_*`` system columns are appended:
+    ``_sdc_lsn`` (long) and ``_sdc_deleted_at`` (string, ISO-8601).
+    Idempotent.
+    """
+    fields = [
+        T.StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
+        for f in schema.fields
+        if f.name not in (SDC_LSN, SDC_DELETED_AT)
+    ]
+    fields.append(T.StructField(SDC_LSN, T.LongType(), nullable=True))
+    fields.append(T.StructField(SDC_DELETED_AT, T.StringType(), nullable=True))
+    return T.StructType(fields)
+
+
+def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Additive schema evolution: fields present in ``incoming`` but not in
+    ``base`` are appended (nullable).  Type changes are rejected — the
+    reference likewise only ever widens nullability / appends columns
+    (tap.py:698-731); destructive evolution is out of contract.
+    """
+    by_name = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in incoming.fields:
+        if f.name not in by_name:
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+        elif by_name[f.name].dataType != f.dataType:
+            raise TypeError(
+                f"incompatible evolution for column {f.name!r}: "
+                f"{by_name[f.name].dataType} → {f.dataType}"
+            )
+    return T.StructType(out)
+
+
+@dataclass(frozen=True)
+class StreamDef:
+    """One replicated stream ≈ one Singer catalog entry
+    (reference tap.py:743-766, client.py:196-260).
+    """
+
+    schema_name: str
+    table_name: str
+    spark_schema: T.StructType
+    key_properties: tuple[str, ...]
+    replication_method: str = "LOG_BASED"  # FULL_TABLE | INCREMENTAL | LOG_BASED
+    replication_key: str | None = None  # None ⇒ _sdc_lsn for LOG_BASED
+    selected_columns: tuple[str, ...] = ()  # empty ⇒ all
+    custom_where_clauses: tuple[str, ...] = field(default=())
+    max_record_count: int | None = None
+
+    @property
+    def fqn(self) -> str:
+        """``schema.table`` — raw concatenation, no case folding
+        (reference _wal_helpers.py:22-36 ``normalize_fqn``)."""
+        return f"{self.schema_name}.{self.table_name}"
+
+    @property
+    def effective_replication_key(self) -> str:
+        if self.replication_method == "LOG_BASED":
+            return SDC_LSN  # reference client.py:242
+        if self.replication_key is None:
+            raise ValueError(f"{self.fqn}: INCREMENTAL requires replication_key")
+        return self.replication_key
+
+    def cdc_schema(self) -> T.StructType:
+        return widen_for_cdc(self.spark_schema)

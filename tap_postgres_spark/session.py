@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the CDC-ingest workload.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would
+set per-executor; the knobs that matter at 100 TB (AQE, shuffle-partition
+sizing, Arrow batches) are on by default here so every test exercises the
+production plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tap_postgres_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` accepts an int (→ ``local[n]``) or a full master string.
+    Shuffle partitions default to the core count: at local scale a 200-way
+    shuffle of 60k rows is pure overhead, and on a real cluster the
+    deployment sets this to ~2-3× total cores.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cores}]" if str(cores).isdigit() or cores == "*" else str(cores)
+    n_cores = os.cpu_count() or 8 if str(cores) == "*" else int(cores) if str(cores).isdigit() else 32
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_cores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        # file-source streaming + small-file handling
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
