@@ -1,0 +1,306 @@
+"""Text-analysis & deduplication operators for training-data pipelines.
+
+These are the document-scale operators a 100 TB corpus pipeline needs on
+top of the CDC engine (driver requirement; the `documents` table is the
+test input).  Design rules:
+
+- every operator is pure Column expressions (JVM, whole-stage codegen)
+  unless noted; the SimHash packer is the one vectorized pandas UDF;
+- every operator has an exact ANSI-SQL oracle (see __spark_entry__.py) —
+  hashes are derived from md5 so Spark and DuckDB agree bit-for-bit
+  (functions.md5_60bit);
+- pairwise stages (near-dup joins) always go through a *blocking* key
+  (band bucket / simhash prefix) so the join is equi- not cross- — the
+  difference between O(n²) and O(n·dups) at 10^9 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions import md5_60bit
+
+# Mersenne-31 hash family: h_i(x) = (a_i * x + b_i) mod p — identical
+# arithmetic in Spark and DuckDB (both 64-bit signed; a_i*x with x < 2^60
+# would overflow, so inputs are first reduced mod p).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm(x: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * (x % _MERSENNE) + F.lit(b)) % _MERSENNE
+
+
+def _hash_family(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — NOT random at runtime so the SQL
+    oracle can inline the same constants."""
+    pairs = []
+    a, b = 1_103_515_245, 12_345
+    for i in range(n):
+        pairs.append(((a * (2 * i + 1)) % _MERSENNE or 1, (b * (i + 7)) % _MERSENNE))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling — shared by every text op and its oracle.
+# ---------------------------------------------------------------------------
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text.  ``split`` on ``\\s+``
+    leaves a leading empty token when the text starts with whitespace —
+    filter exactly like the oracle does."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings ('w1 w2 w3')."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# ---------------------------------------------------------------------------
+# Token counting + quality scoring + language ID + fingerprint
+# ---------------------------------------------------------------------------
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features
+    (the usual pre-training corpus filters)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("q_punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("q_stopword_ratio"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("q_chars_per_token"),
+    )
+
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic;
+# scores are raw token matches so the SQL oracle is a SUM of CASEs.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax of per-language stopword hit counts; ties broken by language
+    code ascending; no hits at all → 'und' (undetermined)."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    scored = df.select("*", *scores)
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # reversed so earlier langs win ties
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.withColumn("lang_pred", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lowercased, punctuation-stripped text.  Robust to formatting-only
+    edits — the cheap first-pass dedup key."""
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+", " ")
+    )
+    return md5_60bit(normalized)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per md5(text).
+    A single hash-groupBy — at 10^10 docs this is one shuffle on a
+    64-bit key with map-side combine."""
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each hash fn, the min over the
+    doc's shingle hashes.  Exploded → groupBy(id) keeps everything
+    columnar; the aggregate is num_hashes MIN()s with map-side combine."""
+    fam = _hash_family(num_hashes)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).withColumn("h", md5_60bit(F.col("sh")))
+    aggs = [
+        F.min(_perm(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(fam)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs agreeing on ALL rows of any band become a candidate pair.  The
+    join is an equi-join on the band hash — shuffle bounded by band-bucket
+    sizes, never a cross join.  Returns distinct (a, b) with a < b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col(f"l.key") == F.col(f"r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage
+    after LSH blocking): |A∩B| / |A∪B| over distinct shingles."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).distinct()
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh"))
+    # intersection via equi-join on (b, sh): per-pair work is |A∩B|, never
+    # the |A|×|B| cross product
+    inter = (
+        pairs.join(a, "a")
+        .join(b, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n", "n_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n", "n_b"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 32) -> DataFrame:
+    """SimHash: sign of per-bit sums of token-hash bits.
+
+    Columnar formulation: explode tokens → token hash → per-bit ±1
+    contributions summed per document → packed int.  ``bits`` ≤ 60 (hash
+    width).  The per-bit sum is expressed as SUM over (2*bit-1) terms so
+    the DuckDB oracle is the identical arithmetic.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = tok.withColumn("h", md5_60bit(F.col("t")))
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = h.groupBy(id_col).agg(*aggs)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed + term
+    return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    blocked on the top ``prefix_bits`` bits (docs differing inside the
+    prefix are missed — the standard recall/cost trade; multiple rotated
+    prefix tables would push recall up at scale)."""
+    s = simhash(df, text_col, id_col, bits=bits)
+    s = s.withColumn("blk", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits))
+    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "blk")
+    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "blk")
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

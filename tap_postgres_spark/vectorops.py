@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+The ANN stack a training-data pipeline needs, Spark-first:
+
+- :func:`cosine_topk` — brute-force exact top-k: one scan, JVM-side
+  ``aggregate``/``zip_with`` dot products, no UDF.  The correctness
+  baseline; O(n) per query.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH variant: both sides
+  hashed to sign-bit buckets, candidates restricted to the query's
+  bucket.  The scale path: the scan prunes to ~n/2^bits per probe.
+- :func:`ivf_topk` — IVF-style: k deterministic centroids, search only
+  the nearest ``n_probe`` cells.  Centroid assignment is a broadcast
+  join (centroids are tiny by construction).
+
+All distances are computed in double precision and rounded where exposed
+so the DuckDB oracle (``list_cosine_similarity``) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``.
+
+    The query vector is a literal array (broadcast by value inside the
+    plan); the scan + dot product is one codegen stage, the top-k is a
+    ``TakeOrderedAndProject`` — no full sort, no shuffle of the scores.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_bits(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature of ``vec`` against fixed hyperplanes, packed to
+    a long.  Deterministic planes → reproducible + oracle-friendly."""
+    bit_terms = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit_terms.append(F.shiftleft(bit, i))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — reproducible in any
+    engine without RNG-library agreement)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's hyperplane
+    bucket.  Recall < 1 by design; at 10^9 vectors the bucket predicate
+    prunes the scan ~2^n_planes× (and would be a partition key on disk)."""
+    dim = len(query_vec)
+    planes = make_planes(dim, n_planes, seed)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qbits_df = df.sparkSession.range(1).select(hyperplane_bits(q, planes).alias("b"))
+    qbits = qbits_df.collect()[0]["b"]
+    candidates = df.withColumn("_b", hyperplane_bits(F.col(vec_col), planes)).filter(
+        F.col("_b") == F.lit(qbits)
+    )
+    return cosine_topk(
+        candidates, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine; ties → lowest
+    centroid id).  Centroids are inlined literals — at real scale they'd be
+    a broadcast DataFrame; same plan shape (no shuffle of the big side)."""
+    best_id = F.lit(-1).cast("long")
+    best_sim = F.lit(-2.0)
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = cosine(F.col(vec_col), c)
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.withColumn("centroid_id", best_id)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF search: rank centroids by similarity to the query, scan only
+    the ``n_probe`` nearest cells."""
+    sims = []
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec))
+    for cid, cvec in centroids:
+        cn = math.sqrt(sum(v * v for v in cvec))
+        dot = sum(a * b for a, b in zip(query_vec, cvec))
+        sims.append((dot / (qn * cn) if qn and cn else -2.0, cid))
+    probe_ids = [cid for _s, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(
+        candidates, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
+def neardup_pairs_blocked(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold, blocked on
+    ``block_col`` (an equi-join key: cluster id / LSH bucket / shard).
+    Blocking turns the O(n²) cross join into per-block joins — the only
+    way pairwise similarity survives 10^9 rows."""
+    a = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )

@@ -1,0 +1,98 @@
+"""textops tests against the driver's documents table + hand oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_postgres_spark import textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([(" hello  World  x ",), ("",)], ["text"])
+    got = df.select(textops.token_count(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in got] == [3, 0]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    got = df.select(textops.shingles(F.col("text"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == ["a b"]  # shorter than k → single shingle
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in textops.dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words nothing shared at all here believe me truly"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in textops.minhash_lsh_pairs(df, num_hashes=16, bands=8).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup collides in some band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    got = {(r["a"], r["b"]): r["jaccard"] for r in textops.ngram_jaccard(df, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    # shingles(k=3) of doc1: {abc,bcd,cde}; doc3: {abc,bcx,cxy} → 1/5
+    assert got[(1, 3)] == pytest.approx(0.2)
+
+
+def test_simhash_neardup(spark):
+    base = "spark streaming merge window filter join batch shuffle partition skew"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "zzz qqq www eee rrr ttt yyy uuu iii ooo")],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash(df).collect()}
+    assert sh[1] == sh[2] and sh[1] != sh[3]
+    pairs = {(r["a"], r["b"]) for r in textops.simhash_neardup_pairs(df).collect()}
+    assert (1, 2) in pairs
+
+
+def test_quality_and_langid_on_documents(docs):
+    q = textops.quality_features(docs).select(
+        "doc_id", "q_tokens", "q_punct_ratio", "q_stopword_ratio"
+    )
+    rows = q.collect()
+    assert all(0 <= r["q_punct_ratio"] <= 1 for r in rows)
+    assert all(0 <= r["q_stopword_ratio"] <= 1 for r in rows)
+    lid = textops.lang_id(docs)
+    preds = {r["lang_pred"] for r in lid.collect()}
+    assert preds <= set(list(textops.LANG_PROFILES) + ["und"])
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", textops.fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    assert fp[1] == fp[2] != fp[3]

@@ -1,0 +1,81 @@
+"""vectorops tests against the driver's embeddings table + numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tap_postgres_spark import vectorops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, q, k):
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(sims, 6)))
+    return [(int(ids[i]), round(float(sims[i]), 6)) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0]
+    got = [(r["vec_id"], r["cos_sim"]) for r in vectorops.cosine_topk(
+        emb, list(q), k=10
+    ).collect()]
+    exp = _np_topk(ids, mat, q, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=1e-6)
+
+
+def test_lsh_bucket_topk_subset_of_bucket(emb, emb_np):
+    ids, mat = emb_np
+    q = list(mat[3])
+    got = vectorops.lsh_bucket_topk(emb, q, k=5, n_planes=3).collect()
+    assert len(got) >= 1
+    # the query's own vector is in its own bucket and ranks first
+    assert got[0]["vec_id"] == int(ids[3])
+    assert got[0]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_topk_probe1(emb, emb_np):
+    ids, mat = emb_np
+    centroids = [(int(ids[i]), list(mat[i])) for i in (0, 50, 100, 150)]
+    q = list(mat[50])
+    got = vectorops.ivf_topk(emb, q, centroids, k=5, n_probe=1).collect()
+    assert got[0]["vec_id"] == int(ids[50])
+    # every result must belong to the probed cell
+    assigned = vectorops.ivf_assign(emb, centroids)
+    cell = {
+        r["vec_id"]
+        for r in assigned.filter(F.col("centroid_id") == int(ids[50])).collect()
+    }
+    assert {r["vec_id"] for r in got} <= cell
+
+
+def test_neardup_pairs_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near-dup of 1, same block
+        (3, [0.0, 1.0, 0.0], 0),      # same block, far
+        (4, [1.0, 0.0, 0.0], 1),      # identical to 1 but different block → missed
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["a"], r["b"]) for r in vectorops.neardup_pairs_blocked(
+        df, threshold=0.99
+    ).collect()}
+    assert got == {(1, 2)}
