@@ -300,7 +300,7 @@ def simhash_neardup_pairs(
     return (
         a.join(b, ["blk"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
