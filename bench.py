@@ -1,0 +1,218 @@
+"""Benchmark driver: CDC replay throughput + per-query timings.
+
+Headline metric (BASELINE.json): change-events/sec replaying a bulk WAL
+feed (insert/update/delete mix, zipf-skewed keys) through the full
+pipeline — JSON decode → classify → salted LWW fold → bucketed MERGE —
+into the lake table, with the final state verified against an
+independent DuckDB fold via a 60-bit-hash-sum certificate (the sha256
+per-row invariant is pinned separately in tests/test_end_to_end.py).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total-sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "cdc": {"events": N, "events_per_sec": ..., "verify": "ok"}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (override feed
+size), SPARK_GRAFT_BENCH_BATCHES (default 4), SPARK_GRAFT_SKIP_QUERIES=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tap_postgres_spark.feedgen import generate_bulk_feed
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+    from pyspark.sql import types as T
+
+    n_events = int(
+        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", max(100_000, int(20_000_000 * sf)))
+    )
+    n_keys = max(10_000, n_events // 8)
+
+    feed_dir = os.path.join(work_dir, f"bulk-feed-{n_events}")
+    if not os.path.exists(os.path.join(feed_dir, "_DONE")):
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        generate_bulk_feed(
+            feed_dir, n_events=n_events, n_keys=n_keys, n_files=max(n_batches * 8, 32)
+        )
+        open(os.path.join(feed_dir, "_DONE"), "w").write("ok")
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+    fqn = "public.source_code_repos"
+    table_dir = os.path.join(work_dir, "lake", "source_code_repos")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    table = LakeTable.create(
+        spark, table_dir, widen_for_cdc(schema), ["repo", "path"], num_buckets=64
+    )
+    stream = StreamDef(
+        schema_name="public",
+        table_name="source_code_repos",
+        spark_schema=schema,
+        key_properties=("repo", "path"),
+    )
+    state_path = os.path.join(work_dir, "bench-state.json")
+    if os.path.exists(state_path):
+        os.unlink(state_path)
+    pipeline = CdcPipeline(
+        spark,
+        [stream],
+        {fqn: {"repo": "text", "path": "text", "commit": "text",
+               "lang": "text", "content": "text"}},
+        {fqn: table},
+        StateStore(state_path),
+        metrics_dir=os.path.join(work_dir, "metrics"),
+        detect_evolution=True,
+        merge_mode="mor",
+    )
+
+    files = sorted(
+        f for f in os.listdir(feed_dir) if f.endswith(".parquet")
+    )
+    per = (len(files) + n_batches - 1) // n_batches
+
+    t0 = time.time()
+    for i in range(n_batches):
+        chunk = files[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        raw = spark.read.parquet(*[os.path.join(feed_dir, f) for f in chunk])
+        pipeline.apply_batch(raw, epoch_id=f"bench-{i}")
+    table.compact(max_delta_depth=1)
+    elapsed = time.time() - t0
+
+    # --- verify: 60-bit-hash-sum certificate vs independent DuckDB fold ---
+    # modular hash-sum (mod 1e6+3) keeps the certificate inside int64 even
+    # at 10^10 rows; row-level sha256 equality is pinned in pytest
+    final = table.read()
+    cert = final.select(
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", "repo", "path", F.coalesce("commit", F.lit("")),
+                                    F.coalesce("content", F.lit("")))
+                    ), 1, 15,
+                ), 16, 10,
+            ).cast("long") % 1_000_003
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+
+    duck = duckdb.connect()
+    exp = duck.sql(
+        f"""
+        WITH ev AS (
+          SELECT lsn,
+                 json_extract_string(payload, '$.action') AS action,
+                 coalesce(json_extract_string(payload, '$.columns[0].value'),
+                          json_extract_string(payload, '$.identity[0].value')) AS repo,
+                 coalesce(json_extract_string(payload, '$.columns[1].value'),
+                          json_extract_string(payload, '$.identity[1].value')) AS path,
+                 json_extract_string(payload, '$.columns[2].value') AS commit,
+                 json_extract_string(payload, '$.columns[4].value') AS content
+          FROM read_parquet('{feed_dir}/feed-*.parquet')
+        ),
+        latest AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+          FROM ev
+        )
+        SELECT sum((('0x' || substr(md5(repo || '|' || path || '|' ||
+                    coalesce(commit, '') || '|' || coalesce(content, '')), 1, 15))::bigint)
+                   % 1000003)::bigint AS s,
+               count(*) AS n
+        FROM latest WHERE rn = 1 AND action <> 'D'
+        """
+    ).fetchone()
+    # NOTE the '|' separator layout must match the Spark concat_ws above
+    ok = (cert["n"] == exp[1]) and (cert["s"] == exp[0])
+    return {
+        "events": n_events,
+        "batches": n_batches,
+        "seconds": round(elapsed, 2),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "final_rows": cert["n"],
+        "verify": "ok" if ok else f"MISMATCH spark=({cert['s']},{cert['n']}) duck={exp}",
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    out: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+    work_dir = os.environ.get("SPARK_GRAFT_WORK_DIR", "/tmp/tps_bench")
+    os.makedirs(work_dir, exist_ok=True)
+
+    from tap_postgres_spark.session import get_spark
+
+    spark = get_spark("tps-bench", cores=cpus)
+
+    cdc = bench_cdc_replay(
+        spark, sf, work_dir, int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
+    )
+    queries: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
+        queries = bench_queries(spark, sf_dir)
+
+    total = round(cdc["seconds"] + sum(queries.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc-replay+queries wall time (headline: change-events/sec, see cdc)",
+                "value": total,
+                "unit": "sec",
+                "queries": {"cdc_replay": cdc["seconds"], **queries},
+                "sf": sf,
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+                "cdc": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

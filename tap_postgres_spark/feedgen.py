@@ -461,7 +461,11 @@ def generate_bulk_feed(
         + "\nfn main() { return " + pd.Series(key_id).astype(str) + "; }\n"
     )
 
-    esc = lambda s: s.str.replace("\\", "\\\\", regex=False).str.replace('"', '\\"', regex=False)
+    esc = (
+        lambda s: s.str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+    )
     cols_json = (
         '{"action":"' + pd.Series(action) + '","schema":"public","table":"source_code_repos",'
     )

@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.lww import fold_last_writer_wins, salted_fold_last_writer_wins
+from ..operators.lww import (
+    fold_last_writer_wins,
+    fold_last_writer_wins_agg,
+    salted_fold_last_writer_wins,
+)
 from ..schema import SDC_DELETED_AT, SDC_LSN, merge_schemas
 
 _BUCKET = "_bucket"
@@ -198,7 +202,7 @@ class LakeTable:
         dirs = [d for b, dl in meta["buckets"].items() if b in sel for d in dl]
         df = self._read_dirs(dirs, schema)
         if SDC_LSN in df.columns:
-            df = fold_last_writer_wins(df, meta["key_columns"], (SDC_LSN,))
+            df = fold_last_writer_wins_agg(df, meta["key_columns"], (SDC_LSN,))
             if not include_tombstones and SDC_DELETED_AT in df.columns:
                 df = df.filter(F.col(SDC_DELETED_AT).isNull())
         return df
@@ -250,7 +254,9 @@ class LakeTable:
         )
         new_schema = merge_schemas(table_schema, batch_schema)
 
-        if fold == "salted":
+        if fold == "agg":
+            folded = fold_last_writer_wins_agg(batch, key_cols)
+        elif fold == "salted":
             folded = salted_fold_last_writer_wins(batch, key_cols)
         elif fold == "plain":
             folded = fold_last_writer_wins(batch, key_cols)
@@ -274,7 +280,7 @@ class LakeTable:
         batch: DataFrame,
         epoch_id: str | None = None,
         *,
-        fold: str = "salted",
+        fold: str = "agg",
         mode: str = "mor",
     ) -> dict[str, Any]:
         """MERGE INTO this table USING ``batch`` ON the key columns.
@@ -287,7 +293,9 @@ class LakeTable:
 
         ``batch`` must carry the key columns and ``_sdc_lsn``; rows with
         ``_sdc_deleted_at`` set are deletes.  The batch is folded to one
-        row per key first (``fold='salted'`` = skew-proof two-phase LWW).
+        row per key first (``fold='agg'`` = max_by hash aggregation with
+        map-side combine, skew-proof by construction; ``'salted'``/``'plain'``
+        select the window variants).
 
         - ``mode='mor'`` (default): append the folded delta only —
           O(|batch|) I/O; tombstones retained until :meth:`compact`.
@@ -328,7 +336,7 @@ class LakeTable:
             # resolve target's own base+deltas before merging new batch,
             # dropping tombstones — a COW commit leaves clean buckets
             if SDC_LSN in target.columns and target_dirs:
-                target = fold_last_writer_wins(target, key_cols, (SDC_LSN,))
+                target = fold_last_writer_wins_agg(target, key_cols, (SDC_LSN,))
                 if SDC_DELETED_AT in target.columns:
                     target = target.filter(F.col(SDC_DELETED_AT).isNull())
             target = target.withColumn(
@@ -427,7 +435,7 @@ class LakeTable:
         new_version = meta["version"] + 1
         rel_dir = self._next_data_dir(new_version)
         df = self._read_dirs([d for dl in todo.values() for d in dl], schema)
-        folded = fold_last_writer_wins(df, key_cols, (SDC_LSN,))
+        folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN,))
         if SDC_DELETED_AT in folded.columns:
             folded = folded.filter(F.col(SDC_DELETED_AT).isNull())
         folded = folded.withColumn(

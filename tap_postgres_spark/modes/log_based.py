@@ -135,17 +135,49 @@ class CdcPipeline:
         """Apply one micro-batch of raw WAL payloads.  Idempotent per
         ``epoch_id`` (commit-epoch dedup in each LakeTable)."""
         batch_time = batch_time or datetime.now(timezone.utc)
-        classified = classify(
-            parse_raw_payloads(raw), list(self.streams.keys())
-        ).persist()
+        classified = classify(parse_raw_payloads(raw), list(self.streams.keys()))
+        # caching the parsed batch only pays off when several streams will
+        # re-scan it; for the single-stream flagship path a re-parse is
+        # cheaper than materializing nested structs into the block store
+        cache = len(self.streams) > 1
+        if cache:
+            classified = classified.persist()
         try:
-            metrics_rows = [r.asDict() for r in batch_metrics(classified).collect()]
-            max_lsn_row = classified.agg(F.max("lsn").alias("m")).collect()[0]
-            max_lsn_seen = max_lsn_row["m"]
+            # ONE aggregation pass per batch: per-(fqn,status) counts, the
+            # global max LSN (reference counters + max_lsn_seen,
+            # wal_reader.py:116-122,239), and the widest column image seen
+            # (the schema-evolution trigger: wal2json I/U events carry the
+            # full row image, so a brand-new column always shows up as
+            # size(columns) > |known schema| — only then is the exact
+            # name-level discovery job worth running).
+            stat_rows = (
+                classified.groupBy("_fqn", "_status")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.max(F.size("columns")).alias("max_cols"),
+                )
+                .collect()
+            )
+            metrics_rows = [
+                {"_fqn": r["_fqn"], "_status": r["_status"], "n": r["n"]}
+                for r in stat_rows
+            ]
+            max_lsn_seen = max(
+                (r["max_lsn"] for r in stat_rows if r["max_lsn"] is not None),
+                default=None,
+            )
+            widest = {}
+            for r in stat_rows:
+                if r["_status"] == STATUS_OK and r["max_cols"] is not None:
+                    widest[r["_fqn"]] = max(widest.get(r["_fqn"], 0), r["max_cols"])
 
             results: dict[str, Any] = {}
             for fqn, stream in list(self.streams.items()):
-                if self.detect_evolution:
+                if (
+                    self.detect_evolution
+                    and widest.get(fqn, 0) > len(stream.spark_schema.fields)
+                ):
                     new_cols = self._discover_new_columns(classified, stream)
                     if new_cols:
                         stream = self._evolve(stream, new_cols)
@@ -160,7 +192,7 @@ class CdcPipeline:
                 table = self.tables[fqn]
                 results[fqn] = table.merge_into(
                     decoded, epoch_id=f"{epoch_id}:{fqn}",
-                    fold="salted", mode=self.merge_mode,
+                    fold="agg", mode=self.merge_mode,
                 )
                 if (
                     self.auto_compact_depth
@@ -168,12 +200,18 @@ class CdcPipeline:
                 ):
                     results[fqn]["compaction"] = table.compact()
 
-            # timeout-exit semantics (reference wal_reader.py:307-344):
-            # advance every stream's bookmark to max LSN actually seen —
-            # all events ≤ max_lsn_seen for every stream are now applied.
+            # Track max LSN seen as a WATERMARK only (reference
+            # max_lsn_seen, wal_reader.py:208,239).  The filter bookmark
+            # (floor) stays put during a run: Spark's file source may
+            # deliver batches out of LSN order across a crash-restart, so
+            # advancing the floor here could silently drop events.  The
+            # floor advances via advance_to_tip() on successful drain —
+            # the reference's idle-exit (wal_reader.py:167-176,307-344);
+            # its timeout-exit "advance only to max seen" maps to Spark
+            # never committing unread offsets, which we get for free.
             if max_lsn_seen is not None:
                 for fqn in self.streams:
-                    self.state.advance(fqn, "_sdc_lsn", int(max_lsn_seen))
+                    self.state.advance_watermark(fqn, int(max_lsn_seen))
                 self.state.flush()
 
             self._write_metrics(epoch_id, batch_time, metrics_rows, results)
@@ -184,7 +222,8 @@ class CdcPipeline:
                 "streams": results,
             }
         finally:
-            classified.unpersist()
+            if cache:
+                classified.unpersist()
 
     # ------------------------------------------------------------------
     def advance_to_tip(self, tip_lsn: int) -> None:

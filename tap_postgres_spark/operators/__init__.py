@@ -1,1 +1,5 @@
-from .lww import fold_last_writer_wins, salted_fold_last_writer_wins  # noqa: F401
+from .lww import (  # noqa: F401
+    fold_last_writer_wins,
+    fold_last_writer_wins_agg,
+    salted_fold_last_writer_wins,
+)

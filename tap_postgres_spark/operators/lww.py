@@ -40,6 +40,35 @@ def fold_last_writer_wins(
     )
 
 
+def fold_last_writer_wins_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+) -> DataFrame:
+    """LWW as a hash aggregation: ``max_by(struct(payload), struct(order))``.
+
+    Semantically identical to the window fold, but executes as ONE shuffle
+    with map-side partial aggregation — each map task pre-folds its local
+    events per key before anything moves, so a hot key that receives 10^6
+    updates in a batch ships ≤ num_map_tasks candidate rows through the
+    shuffle instead of 10^6.  This makes the aggregation skew-proof
+    without salting and is the default fold on the merge path; the salted
+    window variant remains for ordering-sensitive callers.
+    """
+    order_cols = [c for c in order_cols if c in df.columns]
+    if not order_cols:
+        return fold_last_writer_wins(df, key_cols, order_cols)
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    winner = F.max_by(
+        F.struct(*payload_cols), F.struct(*[F.col(c) for c in order_cols])
+    ).alias("_w")
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(winner)
+        .select(*key_cols, "_w.*")
+    )
+
+
 def salted_fold_last_writer_wins(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -48,6 +48,26 @@ class StateStore:
             return default
         return min(present)
 
+    # -- watermarks (observability; never used for filtering) -------------
+    def watermark(self, fqn: str) -> Any | None:
+        return self._doc.get("watermarks", {}).get(fqn)
+
+    def advance_watermark(self, fqn: str, value: Any) -> bool:
+        """Track the highest LSN *seen* (reference max_lsn_seen,
+        wal_reader.py:208,239).  Unlike the bookmark, this may outrun the
+        checkpoint — it is observability metadata only.  The FILTER floor
+        (``bookmark``) must never advance mid-run: Spark's file source does
+        not guarantee LSN-ordered micro-batches across a crash-restart, so
+        a floor that chases max-seen could drop not-yet-applied events.
+        Final-state correctness under out-of-order batches comes from the
+        LWW-by-LSN merge instead."""
+        wm = self._doc.setdefault("watermarks", {})
+        cur = wm.get(fqn)
+        if value is None or (cur is not None and not (value > cur)):
+            return False
+        wm[fqn] = value
+        return True
+
     # -- writes -----------------------------------------------------------
     def advance(self, fqn: str, replication_key: str, value: Any) -> bool:
         """Forward-only advance (reference client.py:287-315): a smaller

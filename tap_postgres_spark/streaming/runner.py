@@ -93,8 +93,10 @@ class StreamingCdcRunner:
             .queryName(self.name)
             .start()
         )
+        completed = False
         try:
             query.awaitTermination()
+            completed = True
         except Exception:
             if fail_after_batches is None:
                 raise
@@ -102,4 +104,17 @@ class StreamingCdcRunner:
         finally:
             if query.isActive:
                 query.stop()
+
+        if completed:
+            # drain finished = the idle-exit of the reference
+            # (wal_reader.py:167-176): every event in the feed is applied
+            # and offsets are committed, so the filter floor may advance
+            # to the observed tip, releasing "retained WAL".
+            tips = [
+                r["max_lsn_seen"]
+                for r in self.batch_results
+                if r.get("max_lsn_seen") is not None
+            ]
+            if tips:
+                self.pipeline.advance_to_tip(max(tips))
         return self.batch_results

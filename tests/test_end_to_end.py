@@ -155,8 +155,36 @@ def test_multi_batch_replay_matches_oracle(spark, tmp_path):
         )
         pipeline.apply_batch(raw, epoch_id=f"batch-{i}")
     assert_state_matches_oracle(spark, table, feed)
-    # bookmark advanced to feed tip
-    assert state.bookmark(FQN) == max(e["lsn"] for e in feed.events)
+    # watermark tracked the feed tip; the filter floor only advances on an
+    # explicit idle-exit (reference wal_reader.py:167-176 semantics)
+    tip = max(e["lsn"] for e in feed.events)
+    assert state.watermark(FQN) == tip
+    pipeline.advance_to_tip(tip)
+    assert state.bookmark(FQN) == tip
+
+
+def test_out_of_order_batches_match_oracle(spark, tmp_path):
+    """Spark's file source may deliver micro-batches out of LSN order
+    across a crash-restart.  Final state must be order-independent:
+    the filter floor stays put during the run and the merge resolves by
+    LSN, so any batch permutation converges to the oracle state."""
+    feed = generate_feed(FeedConfig(n_events=400, n_initial_paths=80))
+    pipeline, table, state = make_pipeline(spark, tmp_path)
+    load_snapshot(spark, pipeline, table, feed, tmp_path)
+
+    ev = feed.events
+    q = (len(ev) + 3) // 4
+    chunks = [ev[i * q : (i + 1) * q] for i in range(4)]
+    for i in (2, 0, 3, 1):  # adversarial permutation
+        chunk = chunks[i]
+        if not chunk:
+            continue
+        raw = spark.createDataFrame(
+            [(e["lsn"], e["txid"], e["payload"]) for e in chunk],
+            "lsn long, txid long, payload string",
+        )
+        pipeline.apply_batch(raw, epoch_id=f"batch-{i}")
+    assert_state_matches_oracle(spark, table, feed)
 
 
 def test_batch_replay_is_idempotent(spark, tmp_path):

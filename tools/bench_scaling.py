@@ -1,0 +1,82 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule).
+
+The rule's two-cluster-size criterion (throughput scaling efficiency
+≥ 0.8 from N to 4N executors) cannot use a real cluster in this sandbox;
+per the driver's instruction it is evidenced by running the IDENTICAL
+CDC-replay job at two local parallelism levels (local[8] vs local[32])
+on the same input and reporting throughput at both plus
+
+    efficiency = (events_per_sec@32 / events_per_sec@8) / 4
+
+Each level runs in its own subprocess (fresh JVM) so the measurements
+don't share executor state.  Results land in BENCH_SCALING.json and are
+summarized into BASELINE.md by hand.
+
+Usage: python tools/bench_scaling.py [n_events] [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, n_events: int, work_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_EVENTS=str(n_events),
+        SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_WORK_DIR=work_dir,
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    work = "/tmp/tps_bench_scaling"
+    os.makedirs(work, exist_ok=True)
+
+    results = {}
+    for cpus in (n_low, n_high):
+        # fresh lake/state per level; the generated feed is reused (cached)
+        for sub in ("lake", "metrics", "bench-state.json"):
+            subprocess.run(["rm", "-rf", os.path.join(work, sub)])
+        r = run_level(cpus, n_events, work)
+        results[str(cpus)] = r["cdc"]
+        print(f"local[{cpus}]: {r['cdc']['events_per_sec']} events/sec "
+              f"({r['cdc']['seconds']}s, verify={r['cdc']['verify']})")
+
+    eps_low = results[str(n_low)]["events_per_sec"]
+    eps_high = results[str(n_high)]["events_per_sec"]
+    ratio = n_high / n_low
+    eff = (eps_high / eps_low) / ratio
+    doc = {
+        "n_events": n_events,
+        "levels": {f"local[{n_low}]": results[str(n_low)],
+                   f"local[{n_high}]": results[str(n_high)]},
+        "speedup": round(eps_high / eps_low, 3),
+        "parallelism_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "≥ 0.8 from N to 4N (BASELINE.json)",
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc, indent=1))
+
+
+if __name__ == "__main__":
+    main()
