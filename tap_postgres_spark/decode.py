@@ -12,10 +12,17 @@ pipeline (all citations /root/reference/tap_postgres/):
 
 The reference does all of this one dict at a time in a single Python
 thread (wal_reader.py:194-257).  Here each micro-batch is ONE DataFrame
-pass: repair → ``from_json`` → status classification → per-stream
-projection, entirely in Column expressions (whole-stage codegen) except
-the PG-array-literal pandas UDF.  At 10^10 events the classification pass
-is embarrassingly parallel over feed partitions with zero shuffle.
+pass, entirely in Column expressions (whole-stage codegen) except the
+PG-array-literal pandas UDF.
+
+Performance shape (measured, 2M events / local[32]):
+- the envelope is parsed with a LEAN schema — only ``(name, value)`` per
+  column entry; the ``type`` field is parsed lazily and only by the
+  (rare) schema-evolution discovery pass;
+- the parsed struct stays PACKED in one ``_env`` column end-to-end;
+  expanding nested entry arrays into top-level columns costs ~3× (struct
+  copy per field), so routing/status/decode all reach into ``_env.*``
+  inside single projections instead.
 """
 
 from __future__ import annotations
@@ -27,23 +34,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions import (
-    coerce_numeric_empty,
     parse_pg_array,
     repair_enum_quotes,
     sdc_deleted_at_literal,
 )
 from .schema import SDC_DELETED_AT, SDC_LSN, StreamDef, is_numeric_pg_type
 
-# wal2json format-version=2 message envelope (reference
-# _wal_helpers.py:67-89; actions client.py:45-48).
-_COL_ENTRY = T.ArrayType(
+# Lean hot-path envelope: wal2json format-version=2, value-only entries.
+# StringType absorbs any JSON primitive (Spark's JSON parser renders
+# non-string scalars to their literal text), matching wal2json's mixed
+# string/number/bool values.
+_LEAN_ENTRY = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+)
+
+LEAN_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("columns", _LEAN_ENTRY),
+        T.StructField("identity", _LEAN_ENTRY),
+    ]
+)
+
+# Full envelope incl. the per-column ``type`` names — used only by the
+# schema-evolution discovery pass (reference _wal_helpers.py:67-89).
+_FULL_ENTRY = T.ArrayType(
     T.StructType(
         [
             T.StructField("name", T.StringType()),
             T.StructField("type", T.StringType()),
-            # StringType absorbs any JSON primitive (Spark's JSON parser
-            # renders non-string scalars to their literal text), matching
-            # wal2json's mixed string/number/bool values.
             T.StructField("value", T.StringType()),
         ]
     )
@@ -54,8 +80,8 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("action", T.StringType()),
         T.StructField("schema", T.StringType()),
         T.StructField("table", T.StringType()),
-        T.StructField("columns", _COL_ENTRY),
-        T.StructField("identity", _COL_ENTRY),
+        T.StructField("columns", _FULL_ENTRY),
+        T.StructField("identity", _FULL_ENTRY),
     ]
 )
 
@@ -74,49 +100,42 @@ DATA_ACTIONS = ("I", "U", "D")
 
 
 def parse_raw_payloads(raw: DataFrame) -> DataFrame:
-    """(lsn, txid, payload:string) → structured envelope rows.
+    """(lsn, txid, payload:string) → (lsn, txid, payload, _env:struct).
 
     Applies the enum-quote repair *before* the JSON parse — the repaired
     form either parses or the row is marked malformed; this collapses the
     reference's parse-retry loop (_wal_helpers.py:78-88) into one
-    deterministic vectorized pass.
+    deterministic vectorized pass.  The raw payload is carried along for
+    the lazy full-schema evolution re-parse.
     """
-    parsed = raw.withColumn(
-        "_env", F.from_json(repair_enum_quotes(F.col("payload")), ENVELOPE_SCHEMA)
-    )
-    return parsed.select(
+    return raw.select(
         "lsn",
         "txid",
-        F.col("_env.action").alias("action"),
-        F.col("_env.schema").alias("schema"),
-        F.col("_env.table").alias("table"),
-        F.col("_env.columns").alias("columns"),
-        F.col("_env.identity").alias("identity"),
-        # from_json yields a null struct (or null action) on unparseable
-        # input → malformed (tests/test_wal_reader.py:565-580 analog).
-        F.col("_env").isNull() | F.col("_env.action").isNull(),
-    ).toDF("lsn", "txid", "action", "schema", "table", "columns", "identity", "_malformed")
+        "payload",
+        F.from_json(repair_enum_quotes(F.col("payload")), LEAN_SCHEMA).alias("_env"),
+    )
 
 
 def classify(envelope: DataFrame, registered_fqns: list[str]) -> DataFrame:
-    """Append a ``_status`` column driving both routing and metrics.
+    """Append ``_fqn`` and ``_status`` columns driving routing + metrics.
 
     One expression, no shuffle.  FQN normalization is the raw
     ``schema.table`` concatenation (reference _wal_helpers.py:22-36).
+    ``from_json`` yields a null struct (or null action) on unparseable
+    input → malformed (tests/test_wal_reader.py:565-580 analog).
     """
-    fqn = F.concat_ws(".", F.col("schema"), F.col("table"))
-    df = envelope if "_malformed" in envelope.columns else envelope.withColumn(
-        "_malformed", F.lit(False)
-    )
+    action = F.col("_env.action")
+    fqn = F.concat_ws(".", F.col("_env.schema"), F.col("_env.table"))
+    malformed = F.col("_env").isNull() | action.isNull()
     status = (
-        F.when(F.col("_malformed"), F.lit(STATUS_MALFORMED))
-        .when(F.col("action").isin("B", "C"), F.lit(STATUS_TXN_MARKER))
-        .when(F.col("action") == "T", F.lit(STATUS_TRUNCATE))
-        .when(~F.col("action").isin(*DATA_ACTIONS), F.lit(STATUS_UNKNOWN_ACTION))
+        F.when(malformed, F.lit(STATUS_MALFORMED))
+        .when(action.isin("B", "C"), F.lit(STATUS_TXN_MARKER))
+        .when(action == "T", F.lit(STATUS_TRUNCATE))
+        .when(~action.isin(*DATA_ACTIONS), F.lit(STATUS_UNKNOWN_ACTION))
         .when(~fqn.isin(registered_fqns), F.lit(STATUS_UNROUTABLE))
         .otherwise(F.lit(STATUS_OK))
     )
-    return df.withColumn("_fqn", fqn).withColumn("_status", status)
+    return envelope.withColumns({"_fqn": fqn, "_status": status})
 
 
 def batch_metrics(classified: DataFrame) -> DataFrame:
@@ -126,19 +145,32 @@ def batch_metrics(classified: DataFrame) -> DataFrame:
     return classified.groupBy("_fqn", "_status").agg(F.count("*").alias("n"))
 
 
-def _value_map(entries: Column) -> Column:
-    """array<struct<name,type,value>> → map<name, struct<type,value>>."""
-    return F.map_from_entries(
-        F.transform(entries, lambda e: F.struct(e["name"], F.struct(e["type"], e["value"])))
+def discover_columns(classified: DataFrame, fqn: str) -> list[tuple[str, str]]:
+    """Distinct (column name, wal2json type) pairs appearing in this
+    stream's routable events — the schema-evolution discovery pass.
+    Re-parses the raw payload with the FULL envelope schema (the hot path
+    deliberately skips the ``type`` field)."""
+    rows = (
+        classified.filter((F.col("_status") == STATUS_OK) & (F.col("_fqn") == fqn))
+        .select(
+            F.explode(
+                F.from_json(
+                    repair_enum_quotes(F.col("payload")), ENVELOPE_SCHEMA
+                )["columns"]
+            ).alias("c")
+        )
+        .select(F.col("c.name").alias("name"), F.col("c.type").alias("type"))
+        .distinct()
+        .collect()
     )
+    return [(r["name"], r["type"]) for r in rows]
 
 
-def decode_stream(
+def decode_projection(
     classified: DataFrame,
     stream: StreamDef,
     pg_types: dict[str, str],
     *,
-    bookmark_lsn: int | None = None,
     batch_time: datetime | None = None,
 ) -> DataFrame:
     """Project this stream's routable events into its typed CDC schema.
@@ -149,38 +181,33 @@ def decode_stream(
     - I/U → row from ``columns`` (full image), ``_sdc_deleted_at`` NULL
     - D   → row from ``identity`` (key-only image), ``_sdc_deleted_at`` =
       batch timestamp; non-key columns NULL
-    - events with lsn < the stream's bookmark are dropped
+    - events with lsn < the stream's bookmark floor are dropped
       (wal_reader.py:290-297) — the replay filter for the shared
       min-LSN reader start
     - per-value coercions from ``_parse_column_value`` (client.py:596-624)
 
     Output columns: widened CDC schema + ``_action`` (I/U/D), ``txid``.
-    Everything is Column expressions; the only Python is the pg-array
-    pandas UDF, applied only to array-typed columns.
+    Everything happens in ONE projection over the packed ``_env`` struct;
+    the only Python is the pg-array pandas UDF, applied only to
+    array-typed columns.
     """
     batch_time = batch_time or datetime.now(timezone.utc)
-    df = classified.filter(
-        (F.col("_status") == STATUS_OK) & (F.col("_fqn") == stream.fqn)
-    )
-    if bookmark_lsn is not None:
-        df = df.filter(F.col("lsn") >= F.lit(bookmark_lsn))
 
-    is_delete = F.col("action") == "D"
-    vals = F.when(is_delete, _value_map(F.col("identity"))).otherwise(
-        _value_map(F.col("columns"))
+    is_delete = F.col("_env.action") == "D"
+    # lean entries are (name, value) structs → directly map-ready
+    vals = F.when(is_delete, F.map_from_entries(F.col("_env.identity"))).otherwise(
+        F.map_from_entries(F.col("_env.columns"))
     )
-    df = df.withColumn("_vals", vals)
 
     out_cols: list[Column] = []
     for field in stream.spark_schema.fields:
         if field.name in (SDC_LSN, SDC_DELETED_AT):
             continue
         pg_type = pg_types.get(field.name, "text")
-        entry = F.col("_vals").getItem(field.name)
-        raw_val = entry["value"]
+        raw_val = vals.getItem(field.name)
         # numeric ""→NULL (client.py:621-623)
         if is_numeric_pg_type(pg_type):
-            raw_val = coerce_numeric_empty(raw_val, F.lit(True))
+            raw_val = F.when(raw_val == "", F.lit(None)).otherwise(raw_val)
         if isinstance(field.dataType, T.ArrayType):
             # PG array literal '{a,b,"c d"}' → array (client.py:608-619)
             col = parse_pg_array(raw_val)
@@ -196,6 +223,41 @@ def decode_stream(
         .otherwise(F.lit(None).cast("string"))
         .alias(SDC_DELETED_AT)
     )
-    out_cols.append(F.col("action").alias("_action"))
+    out_cols.append(F.col("_env.action").alias("_action"))
     out_cols.append(F.col("txid"))
-    return df.select(*out_cols)
+
+    # ``_status``/``_fqn`` are lazy expressions over ``_env`` — filtering
+    # on them as separate operators would re-run from_json per operator.
+    # Everything (outputs + routing predicates + the evolution-trigger
+    # width) is computed in ONE projection; observers and the routing
+    # filter then read the materialized helper columns.
+    out_cols.append(F.col("_status").alias("__status"))
+    out_cols.append(F.col("_fqn").alias("__fqn"))
+    out_cols.append(F.size(F.col("_env.columns")).alias("__ncols"))
+    return classified.select(*out_cols)
+
+
+def finish_decode(
+    projected: DataFrame, stream: StreamDef, bookmark_lsn: int | None = None
+) -> DataFrame:
+    """Routing + bookmark-floor filter over a :func:`decode_projection`."""
+    cond = (F.col("__status") == STATUS_OK) & (F.col("__fqn") == stream.fqn)
+    if bookmark_lsn is not None:
+        cond = cond & (F.col(SDC_LSN) >= F.lit(bookmark_lsn))
+    return projected.filter(cond).drop("__status", "__fqn", "__ncols")
+
+
+def decode_stream(
+    classified: DataFrame,
+    stream: StreamDef,
+    pg_types: dict[str, str],
+    *,
+    bookmark_lsn: int | None = None,
+    batch_time: datetime | None = None,
+) -> DataFrame:
+    """decode_projection + finish_decode (see decode_projection docs)."""
+    return finish_decode(
+        decode_projection(classified, stream, pg_types, batch_time=batch_time),
+        stream,
+        bookmark_lsn,
+    )

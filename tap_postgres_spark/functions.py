@@ -23,7 +23,18 @@ _ENUM_QUOTE_PATTERN = r'("type":\s*)""([^"]*)""'
 
 
 def repair_enum_quotes(payload: Column) -> Column:
-    return F.regexp_replace(payload, _ENUM_QUOTE_PATTERN, r'$1"$2"')
+    """Fix wal2json's doubled-quote enum bug.
+
+    The regex is ~6× the cost of the JSON parse itself, so it only runs
+    on payloads that can possibly need it: any occurrence of `""` (a
+    superset: legitimate empty-string values also match, and merely pay
+    the regex).  This conditional replaces the reference's parse-then-
+    retry loop with a branch that whole-stage codegen executes per row.
+    """
+    return F.when(
+        payload.contains('""'),
+        F.regexp_replace(payload, _ENUM_QUOTE_PATTERN, r'$1"$2"'),
+    ).otherwise(payload)
 
 
 # ---------------------------------------------------------------------------

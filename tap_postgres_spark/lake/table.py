@@ -55,7 +55,12 @@ from ..operators.lww import (
 from ..schema import SDC_DELETED_AT, SDC_LSN, merge_schemas
 
 _BUCKET = "_bucket"
-_HELPER_COLS = ("_action", "txid", _BUCKET)
+# commit-generation system column, stored in every data file but absent
+# from the logical schema: ties on _sdc_lsn across deltas (e.g. a
+# schema-evolution correction re-writing the same events) resolve to the
+# NEWEST commit deterministically.  Old files lack it → NULL → lose ties.
+SDC_GEN = "_sdc_gen"
+_HELPER_COLS = ("_action", "txid", _BUCKET, "__status", "__fqn", "__ncols")
 
 
 def _list_parquet_files(directory: str) -> list[str]:
@@ -168,15 +173,22 @@ class LakeTable:
             "int"
         )
 
-    def _read_dirs(self, dirs: list[str], schema: T.StructType) -> DataFrame:
+    def _read_dirs(
+        self, dirs: list[str], schema: T.StructType, *, with_gen: bool = False
+    ) -> DataFrame:
         files: list[str] = []
         for d in dirs:
             files.extend(_list_parquet_files(os.path.join(self.path, d)))
+        read_schema = schema
+        if with_gen:
+            read_schema = T.StructType(
+                list(schema.fields) + [T.StructField(SDC_GEN, T.LongType(), True)]
+            )
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], read_schema)
         # explicit schema-on-read: files written before a schema evolution
         # lack the new columns → NULL-filled, exactly Iceberg's behavior.
-        return self.spark.read.schema(schema).parquet(*files)
+        return self.spark.read.schema(read_schema).parquet(*files)
 
     def read(
         self,
@@ -200,12 +212,14 @@ class LakeTable:
             else set(meta["buckets"].keys())
         )
         dirs = [d for b, dl in meta["buckets"].items() if b in sel for d in dl]
-        df = self._read_dirs(dirs, schema)
+        df = self._read_dirs(dirs, schema, with_gen=True)
         if SDC_LSN in df.columns:
-            df = fold_last_writer_wins_agg(df, meta["key_columns"], (SDC_LSN,))
+            df = fold_last_writer_wins_agg(
+                df, meta["key_columns"], (SDC_LSN, SDC_GEN)
+            )
             if not include_tombstones and SDC_DELETED_AT in df.columns:
                 df = df.filter(F.col(SDC_DELETED_AT).isNull())
-        return df
+        return df.drop(SDC_GEN)
 
     def buckets_for_keys(self, keys_df: DataFrame) -> list[int]:
         meta = self.metadata()
@@ -243,12 +257,16 @@ class LakeTable:
         return found
 
     def _prepare_batch(
-        self, batch: DataFrame, meta: dict[str, Any], fold: str | None
+        self,
+        batch: DataFrame,
+        meta: dict[str, Any],
+        fold: str | None,
+        new_version: int,
     ) -> tuple[DataFrame, T.StructType]:
-        """Schema-align, fold to one row per key, add bucket column."""
+        """Schema-align, fold to one row per key, add bucket + generation."""
         key_cols = meta["key_columns"]
         table_schema = T.StructType.fromJson(meta["schema"])
-        data_cols = [c for c in batch.columns if c not in _HELPER_COLS]
+        data_cols = [c for c in batch.columns if c not in _HELPER_COLS and c != SDC_GEN]
         batch_schema = T.StructType(
             [f for f in batch.schema.fields if f.name in data_cols]
         )
@@ -268,7 +286,8 @@ class LakeTable:
                 if f.name in folded.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in new_schema.fields
-            ]
+            ],
+            F.lit(new_version).cast("long").alias(SDC_GEN),
         )
         bucketed = aligned.withColumn(
             _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
@@ -314,7 +333,7 @@ class LakeTable:
                 "version": meta["committed_epochs"][epoch_id],
             }
         new_version = meta["version"] + 1
-        bucketed, new_schema = self._prepare_batch(batch, meta, fold)
+        bucketed, new_schema = self._prepare_batch(batch, meta, fold, new_version)
         key_cols = meta["key_columns"]
         rel_dir = self._next_data_dir(new_version)
 
@@ -332,11 +351,13 @@ class LakeTable:
             target_dirs = [
                 d for b, dl in meta["buckets"].items() if b in touched for d in dl
             ]
-            target = self._read_dirs(target_dirs, new_schema)
+            target = self._read_dirs(target_dirs, new_schema, with_gen=True)
             # resolve target's own base+deltas before merging new batch,
             # dropping tombstones — a COW commit leaves clean buckets
             if SDC_LSN in target.columns and target_dirs:
-                target = fold_last_writer_wins_agg(target, key_cols, (SDC_LSN,))
+                target = fold_last_writer_wins_agg(
+                    target, key_cols, (SDC_LSN, SDC_GEN)
+                )
                 if SDC_DELETED_AT in target.columns:
                     target = target.filter(F.col(SDC_DELETED_AT).isNull())
             target = target.withColumn(
@@ -396,7 +417,7 @@ class LakeTable:
         if epoch_id is not None and epoch_id in meta["committed_epochs"]:
             return {"skipped": True, "epoch_id": epoch_id}
         new_version = meta["version"] + 1
-        bucketed, new_schema = self._prepare_batch(df, meta, fold=None)
+        bucketed, new_schema = self._prepare_batch(df, meta, None, new_version)
         rel_dir = self._next_data_dir(new_version)
         written = self._write_bucketed(bucketed, rel_dir, meta["num_buckets"])
         committed = dict(meta["committed_epochs"])
@@ -434,8 +455,10 @@ class LakeTable:
             return {"skipped": True, "reason": "nothing to compact"}
         new_version = meta["version"] + 1
         rel_dir = self._next_data_dir(new_version)
-        df = self._read_dirs([d for dl in todo.values() for d in dl], schema)
-        folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN,))
+        df = self._read_dirs(
+            [d for dl in todo.values() for d in dl], schema, with_gen=True
+        )
+        folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN, SDC_GEN))
         if SDC_DELETED_AT in folded.columns:
             folded = folded.filter(F.col(SDC_DELETED_AT).isNull())
         folded = folded.withColumn(

@@ -36,12 +36,30 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from ..decode import (
+    STATUS_MALFORMED,
     STATUS_OK,
-    batch_metrics,
+    STATUS_TRUNCATE,
+    STATUS_TXN_MARKER,
+    STATUS_UNKNOWN_ACTION,
+    STATUS_UNROUTABLE,
     classify,
+    decode_projection,
     decode_stream,
+    discover_columns,
+    finish_decode,
     parse_raw_payloads,
+)
+from ..schema import SDC_LSN
+
+_GLOBAL_STATUSES = (
+    STATUS_MALFORMED,
+    STATUS_TXN_MARKER,
+    STATUS_TRUNCATE,
+    STATUS_UNKNOWN_ACTION,
+    STATUS_UNROUTABLE,
 )
 from ..lake import LakeTable
 from ..schema import StreamDef, pg_type_to_spark
@@ -88,19 +106,12 @@ class CdcPipeline:
         self, classified: DataFrame, stream: StreamDef
     ) -> list[tuple[str, str]]:
         """Additive schema-evolution detection: column names present in the
-        batch's events but absent from the stream schema.  Distinct over
-        exploded (name, type) pairs — map-side combined, tiny result."""
+        batch's events but absent from the stream schema.  Full-schema
+        re-parse + distinct — runs only when the cheap width trigger in
+        the stats pass fires."""
         known = {f.name for f in stream.spark_schema.fields}
-        pairs = (
-            classified.filter(
-                (F.col("_status") == STATUS_OK) & (F.col("_fqn") == stream.fqn)
-            )
-            .select(F.explode("columns").alias("c"))
-            .select(F.col("c.name").alias("name"), F.col("c.type").alias("type"))
-            .distinct()
-            .collect()
-        )
-        return [(r["name"], r["type"]) for r in pairs if r["name"] not in known]
+        pairs = discover_columns(classified, stream.fqn)
+        return [(name, pg_type) for name, pg_type in pairs if name not in known]
 
     def _evolve(self, stream: StreamDef, new_cols: list[tuple[str, str]]) -> StreamDef:
         fields = list(stream.spark_schema.fields)
@@ -135,7 +146,8 @@ class CdcPipeline:
         """Apply one micro-batch of raw WAL payloads.  Idempotent per
         ``epoch_id`` (commit-epoch dedup in each LakeTable)."""
         batch_time = batch_time or datetime.now(timezone.utc)
-        classified = classify(parse_raw_payloads(raw), list(self.streams.keys()))
+        fqns = list(self.streams.keys())
+        classified = classify(parse_raw_payloads(raw), fqns)
         # caching the parsed batch only pays off when several streams will
         # re-scan it; for the single-stream flagship path a re-parse is
         # cheaper than materializing nested structs into the block store
@@ -143,57 +155,93 @@ class CdcPipeline:
         if cache:
             classified = classified.persist()
         try:
-            # ONE aggregation pass per batch: per-(fqn,status) counts, the
-            # global max LSN (reference counters + max_lsn_seen,
-            # wal_reader.py:116-122,239), and the widest column image seen
-            # (the schema-evolution trigger: wal2json I/U events carry the
-            # full row image, so a brand-new column always shows up as
-            # size(columns) > |known schema| — only then is the exact
-            # name-level discovery job worth running).
-            stat_rows = (
-                classified.groupBy("_fqn", "_status")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.max("lsn").alias("max_lsn"),
-                    F.max(F.size("columns")).alias("max_cols"),
+            # All batch metrics ride the merge's own scan via observe():
+            # status counters + per-fqn emitted counts (reference
+            # wal_reader.py:116-122), max LSN seen (wal_reader.py:239) and
+            # the evolution trigger (widest column image per stream —
+            # wal2json I/U carries the full row image, so a new column
+            # always shows up as size(columns) > |known schema|).  Zero
+            # extra passes over the batch on the happy path.
+            obs = Observation()
+            aggs = [F.max(F.col(SDC_LSN)).alias("max_lsn")]
+            for s in _GLOBAL_STATUSES:
+                aggs.append(
+                    F.sum(F.when(F.col("__status") == s, 1).otherwise(0)).alias(
+                        f"status.{s}"
+                    )
                 )
-                .collect()
-            )
-            metrics_rows = [
-                {"_fqn": r["_fqn"], "_status": r["_status"], "n": r["n"]}
-                for r in stat_rows
-            ]
-            max_lsn_seen = max(
-                (r["max_lsn"] for r in stat_rows if r["max_lsn"] is not None),
-                default=None,
-            )
-            widest = {}
-            for r in stat_rows:
-                if r["_status"] == STATUS_OK and r["max_cols"] is not None:
-                    widest[r["_fqn"]] = max(widest.get(r["_fqn"], 0), r["max_cols"])
+            for fqn in fqns:
+                ok = (F.col("__fqn") == fqn) & (F.col("__status") == STATUS_OK)
+                aggs.append(F.sum(F.when(ok, 1).otherwise(0)).alias(f"ok.{fqn}"))
+                aggs.append(
+                    F.max(F.when(ok, F.col("__ncols"))).alias(f"cols.{fqn}")
+                )
 
             results: dict[str, Any] = {}
+            observed_df = None
+            obs_fired = False
             for fqn, stream in list(self.streams.items()):
-                if (
-                    self.detect_evolution
-                    and widest.get(fqn, 0) > len(stream.spark_schema.fields)
-                ):
-                    new_cols = self._discover_new_columns(classified, stream)
-                    if new_cols:
-                        stream = self._evolve(stream, new_cols)
-                bookmark = self.state.bookmark(fqn)
-                decoded = decode_stream(
+                proj = decode_projection(
                     classified,
                     stream,
                     self.pg_types.get(fqn, {}),
-                    bookmark_lsn=bookmark,
                     batch_time=batch_time,
                 )
+                if observed_df is None:
+                    proj = observed_df = proj.observe(obs, *aggs)
+                decoded = finish_decode(proj, stream, self.state.bookmark(fqn))
                 table = self.tables[fqn]
                 results[fqn] = table.merge_into(
                     decoded, epoch_id=f"{epoch_id}:{fqn}",
                     fold="agg", mode=self.merge_mode,
                 )
+                if proj is observed_df and not results[fqn].get("skipped"):
+                    obs_fired = True
+
+            if not obs_fired:
+                # every observed-plan merge was an epoch-dedup no-op
+                # (crash replay): run one cheap pass so metrics + the
+                # evolution trigger still materialize for this batch
+                observed_df.write.mode("overwrite").format("noop").save()
+
+            metrics = {k: (v if v is not None else 0) for k, v in obs.get.items()}
+            max_lsn_seen = obs.get["max_lsn"]
+            metrics_rows = [
+                {"_fqn": None, "_status": s, "n": metrics[f"status.{s}"]}
+                for s in _GLOBAL_STATUSES
+            ] + [
+                {"_fqn": fqn, "_status": STATUS_OK, "n": metrics[f"ok.{fqn}"]}
+                for fqn in fqns
+            ]
+
+            # schema evolution: trigger from the observed width, then the
+            # exact (rare) discovery pass; the re-decoded correction batch
+            # supersedes the just-written rows via the _sdc_gen tie-break
+            for fqn, stream in list(self.streams.items()):
+                if not self.detect_evolution:
+                    continue
+                width = obs.get.get(f"cols.{fqn}")
+                if width is None or width <= len(stream.spark_schema.fields):
+                    continue
+                new_cols = self._discover_new_columns(classified, stream)
+                if not new_cols:
+                    continue
+                stream = self._evolve(stream, new_cols)
+                corrected = decode_stream(
+                    classified,
+                    stream,
+                    self.pg_types.get(fqn, {}),
+                    bookmark_lsn=self.state.bookmark(fqn),
+                    batch_time=batch_time,
+                )
+                results[fqn]["evolution"] = self.tables[fqn].merge_into(
+                    corrected, epoch_id=f"{epoch_id}:{fqn}:evolve",
+                    fold="agg", mode=self.merge_mode,
+                )
+                results[fqn]["evolved_columns"] = [c for c, _t in new_cols]
+
+            for fqn in fqns:
+                table = self.tables[fqn]
                 if (
                     self.auto_compact_depth
                     and table.delta_depth() > self.auto_compact_depth

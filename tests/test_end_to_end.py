@@ -212,17 +212,15 @@ def test_metrics_counters_match_feed(spark, tmp_path):
         "lsn long, txid long, payload string",
     )
     res = pipeline.apply_batch(raw, epoch_id="batch-0")
-    counts: dict[tuple[str, str], int] = {}
+    counts: dict[tuple[str | None, str], int] = {}
     for m in res["metrics"]:
         counts[(m["_fqn"], m["_status"])] = m["n"]
     exp = feed.expected_counts
+    # per-stream emitted count + global drop counters, matching the
+    # reference's counter taxonomy (wal_reader.py:116-122)
     assert counts.get((FQN, "ok"), 0) == exp["I"] + exp["U"] + exp["D"]
-    assert counts.get(("public.other_table", "unroutable"), 0) == exp["other_table"]
-    malformed = sum(n for (f, s), n in counts.items() if s == "malformed")
-    assert malformed == exp["malformed"]
-    txn = sum(n for (f, s), n in counts.items() if s == "txn_marker")
-    assert txn == exp["txn_marker"]
-    trunc = sum(n for (f, s), n in counts.items() if s == "truncate")
-    assert trunc == exp["truncate"]
-    unk = sum(n for (f, s), n in counts.items() if s == "unknown_action")
-    assert unk == exp["unknown_action"]
+    assert counts.get((None, "unroutable"), 0) == exp["other_table"]
+    assert counts.get((None, "malformed"), 0) == exp["malformed"]
+    assert counts.get((None, "txn_marker"), 0) == exp["txn_marker"]
+    assert counts.get((None, "truncate"), 0) == exp["truncate"]
+    assert counts.get((None, "unknown_action"), 0) == exp["unknown_action"]

@@ -68,7 +68,7 @@ def test_routing_to_two_tables(spark, pipeline):
     counts = {(m["_fqn"], m["_status"]): m["n"] for m in res["metrics"]}
     assert counts[("public.t_a", "ok")] == 2
     assert counts[("public.t_b", "ok")] == 2
-    assert counts[("public.t_unknown", "unroutable")] == 1
+    assert counts[(None, "unroutable")] == 1
     # per-stream watermarks advanced to the shared max seen
     assert pipeline.state.watermark("public.t_a") == 50
     assert pipeline.state.watermark("public.t_b") == 50
