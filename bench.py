@@ -57,8 +57,10 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
     feed_dir = os.path.join(work_dir, f"bulk-feed-{n_events}")
     if not os.path.exists(os.path.join(feed_dir, "_DONE")):
         shutil.rmtree(feed_dir, ignore_errors=True)
+        # ≥32 files per batch so every parallelism level has enough scan
+        # tasks (the parse stage is the CPU-heavy one)
         generate_bulk_feed(
-            feed_dir, n_events=n_events, n_keys=n_keys, n_files=max(n_batches * 8, 32)
+            feed_dir, n_events=n_events, n_keys=n_keys, n_files=max(n_batches * 32, 64)
         )
         open(os.path.join(feed_dir, "_DONE"), "w").write("ok")
 

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep AQE from coalescing below the core count: post-shuffle
+        # parallelism must track cores, not just bytes, for CPU-heavy
+        # stages (JSON decode, LWW fold)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # permissive casts (bad value → NULL, not error): CDC decode must
@@ -50,8 +54,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
-        # file-source streaming + small-file handling
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split sizing: the rule is ≥2-3 input splits per core for the
+        # parse-heavy feed scan.  32 MB suits local[8..32] over ~100 MB
+        # feed files; a 1000-executor deployment raises this to 128-256 MB
+        # (same rule, bigger denominator).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.sql.streaming.schemaInference", "false")
     )
     for k, v in (extra_conf or {}).items():

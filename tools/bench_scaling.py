@@ -46,18 +46,26 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     work = "/tmp/tps_bench_scaling"
     os.makedirs(work, exist_ok=True)
 
     results = {}
     for cpus in (n_low, n_high):
-        # fresh lake/state per level; the generated feed is reused (cached)
-        for sub in ("lake", "metrics", "bench-state.json"):
-            subprocess.run(["rm", "-rf", os.path.join(work, sub)])
-        r = run_level(cpus, n_events, work)
-        results[str(cpus)] = r["cdc"]
-        print(f"local[{cpus}]: {r['cdc']['events_per_sec']} events/sec "
-              f"({r['cdc']['seconds']}s, verify={r['cdc']['verify']})")
+        best = None
+        for rep in range(repeats):
+            # fresh lake/state per run; the generated feed is reused (cached)
+            for sub in ("lake", "metrics", "bench-state.json"):
+                subprocess.run(["rm", "-rf", os.path.join(work, sub)])
+            r = run_level(cpus, n_events, work)
+            assert r["cdc"]["verify"] == "ok", r["cdc"]
+            print(f"local[{cpus}] run {rep}: {r['cdc']['events_per_sec']} ev/s "
+                  f"({r['cdc']['seconds']}s)", flush=True)
+            if best is None or r["cdc"]["events_per_sec"] > best["events_per_sec"]:
+                best = r["cdc"]
+        # best-of-N: the sandbox host is shared (co-tenant load spikes);
+        # best-of mitigates contention noise in wall-clock numbers
+        results[str(cpus)] = best
 
     eps_low = results[str(n_low)]["events_per_sec"]
     eps_high = results[str(n_high)]["events_per_sec"]
