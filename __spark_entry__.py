@@ -279,6 +279,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup materializer: documents surviving MinHash-LSH dedup
+    (for each candidate pair a<b the higher id is dropped) — the keep-list
+    a training pipeline would feed downstream."""
+    docs = _docs(spark, sf_dir)
+    pairs = textops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_SH_K
+    )
+    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
 
@@ -358,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
@@ -575,6 +588,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": _minhash_sig_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
+        "minhash_dedup_docs": f"""
+            WITH pairs AS ({_minhash_pairs_sql()})
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM pairs)
+        """,
         "simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),
         # embeddings are float32 on disk: cast to DOUBLE[] so DuckDB's
