@@ -118,3 +118,39 @@ class StreamingCdcRunner:
             if tips:
                 self.pipeline.advance_to_tip(max(tips))
         return self.batch_results
+
+    def run_tailing(
+        self,
+        *,
+        processing_time: str = "5 seconds",
+        max_run_seconds: float | None = None,
+    ):
+        """Continuous tailing (the reference's long-running replication
+        loop, client.py:341-451): a ``processingTime`` trigger polls the
+        feed directory for new files; ``max_run_seconds`` is the
+        ``replication_max_run_seconds`` analog (tap.py:284-292) — the
+        query stops after the budget, leaving the checkpoint mid-stream
+        (Spark never commits unread offsets, so this is the reference's
+        timeout-exit for free).  Returns the per-batch results so far."""
+        spark = self.pipeline.spark
+        stream = (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("latestFirst", "false")
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1)
+            .parquet(self.feed_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .queryName(self.name)
+            .start()
+        )
+        try:
+            if max_run_seconds is None:
+                query.processAllAvailable()
+            else:
+                query.awaitTermination(timeout=max_run_seconds)
+        finally:
+            query.stop()
+        return self.batch_results

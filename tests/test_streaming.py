@@ -40,6 +40,37 @@ def test_streaming_replay_matches_oracle(spark, tmp_path, feed):
     assert state.bookmark(FQN) == max(e["lsn"] for e in feed.events)
 
 
+def test_tailing_picks_up_new_files(spark, tmp_path, feed):
+    """run_tailing (processingTime trigger) applies files that arrive
+    while the query is live — the reference's long-poll loop analog."""
+    import os
+    import shutil
+
+    pipeline, table, _ = make_pipeline(spark, tmp_path)
+    load_snapshot(spark, pipeline, table, feed, tmp_path)
+    staged = str(tmp_path / "staged")
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    write_feed(feed, staged)
+    files = sorted(os.listdir(staged))
+    # half the feed present at start
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(staged, f), os.path.join(feed_dir, f))
+
+    runner = StreamingCdcRunner(
+        pipeline, feed_dir, str(tmp_path / "ckpt"), max_files_per_trigger=4
+    )
+    runner.run_tailing(processing_time="1 seconds")
+    n_first = len(runner.batch_results)
+    # rest of the feed "arrives"; tail again on the same checkpoint
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(staged, f), os.path.join(feed_dir, f))
+    runner.run_tailing(processing_time="1 seconds")
+    assert len(runner.batch_results) > n_first
+    pipeline.advance_to_tip(max(e["lsn"] for e in feed.events))
+    assert_state_matches_oracle(spark, table, feed)
+
+
 def test_crash_resume_from_checkpoint(spark, tmp_path, feed):
     """Kill the query mid-stream; restart must resume from the checkpoint
     and converge to the identical oracle state (exactly-once end to end)."""

@@ -21,8 +21,23 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_for_quiet_host(max_load: float = 4.0, timeout_s: int = 600) -> None:
+    """The sandbox host is shared; don't start a measurement while
+    co-tenant load is high (set SPARK_GRAFT_LOAD_GATE=0 to disable)."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", max_load))
+    if gate <= 0:
+        return
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load1 = os.getloadavg()[0]
+        if load1 < gate:
+            return
+        time.sleep(15)
 
 
 def run_level(cpus: int, n_events: int, work_dir: str) -> dict:
@@ -57,6 +72,7 @@ def main() -> None:
             # fresh lake/state per run; the generated feed is reused (cached)
             for sub in ("lake", "metrics", "bench-state.json"):
                 subprocess.run(["rm", "-rf", os.path.join(work, sub)])
+            wait_for_quiet_host()
             r = run_level(cpus, n_events, work)
             assert r["cdc"]["verify"] == "ok", r["cdc"]
             print(f"local[{cpus}] run {rep}: {r['cdc']['events_per_sec']} ev/s "
