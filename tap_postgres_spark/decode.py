@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions import (
+    parse_bytea_hex,
+    parse_hstore,
     parse_pg_array,
     repair_enum_quotes,
     sdc_deleted_at_literal,
@@ -213,6 +215,16 @@ def decode_projection(
             col = parse_pg_array(raw_val)
             if not isinstance(field.dataType.elementType, T.StringType):
                 col = col.cast(field.dataType)
+        elif isinstance(field.dataType, T.MapType):
+            if pg_type in ("json", "jsonb"):
+                # json_as_object mode (client.py:91-102): JSON text → map
+                col = F.from_json(raw_val, field.dataType)
+            else:
+                # hstore literal '"k"=>"v"' (client.py:118-124)
+                col = parse_hstore(raw_val)
+        elif isinstance(field.dataType, T.BinaryType):
+            # bytea hex literal '\x<hex>'
+            col = parse_bytea_hex(raw_val)
         else:
             col = raw_val.cast(field.dataType)
         out_cols.append(col.alias(field.name))

@@ -114,6 +114,62 @@ def parse_pg_array(series: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# hstore literal parse: '"foo"=>"bar", "baz"=>NULL' → map<string,string>.
+# The reference gets this from psycopg2's hstore adapter (client.py:118-124
+# maps hstore → object); wal2json renders the literal text.
+def _parse_hstore_one(s: str | None) -> dict[str, str | None] | None:
+    if s is None:
+        return None
+    out: dict[str, str | None] = {}
+    i, n = 0, len(s)
+
+    def read_quoted(j: int) -> tuple[str, int]:
+        buf: list[str] = []
+        while j < n:
+            c = s[j]
+            if c == "\\":
+                j += 1
+                if j < n:
+                    buf.append(s[j])
+            elif c == '"':
+                return "".join(buf), j + 1
+            else:
+                buf.append(c)
+            j += 1
+        return "".join(buf), j
+
+    while i < n:
+        while i < n and s[i] in " ,\t":
+            i += 1
+        if i >= n:
+            break
+        if s[i] != '"':
+            return None  # malformed
+        key, i = read_quoted(i + 1)
+        while i < n and s[i] in " =>":
+            i += 1
+        if i < n and s[i] == '"':
+            val, i = read_quoted(i + 1)
+            out[key] = val
+        else:  # NULL value
+            while i < n and s[i] not in ",":
+                i += 1
+            out[key] = None
+    return out
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+def parse_hstore(series: pd.Series) -> pd.Series:
+    return series.map(_parse_hstore_one)
+
+
+# ---------------------------------------------------------------------------
+# bytea: wal2json renders bytea as a PG hex literal '\x48656c6c6f'.
+def parse_bytea_hex(value: Column) -> Column:
+    return F.unhex(F.regexp_replace(value, r"^\\x", ""))
+
+
+# ---------------------------------------------------------------------------
 # F6 — numeric empty-string → NULL (reference client.py:49,621-623:
 # wal2json renders some numerics as "" which must become NULL).
 def coerce_numeric_empty(value: Column, is_numeric_type: Column) -> Column:

@@ -47,6 +47,47 @@ def incremental_scan(
     return df
 
 
+def incremental_merge(
+    source: DataFrame,
+    stream: StreamDef,
+    table,
+    state: StateStore,
+    *,
+    epoch_id: str,
+    start_value: Any | None = None,
+) -> dict[str, Any]:
+    """INCREMENTAL sync into a LakeTable: bookmark scan → keyed upsert →
+    bookmark commit.  The replication-key value doubles as the LWW
+    ordinal (``_sdc_lsn``) so repeated syncs resolve exactly like WAL
+    events: highest replication key wins per key.
+
+    Timestamp/date keys become epoch micros/days; integer keys pass
+    through.  Rows with NULL replication keys (full initial sync) get
+    ordinal 0 — any later keyed row supersedes them.
+    """
+    from ..schema import SDC_DELETED_AT, SDC_LSN
+
+    synced = incremental_scan(source, stream, state, start_value=start_value)
+    rep_key = stream.effective_replication_key
+    kind = dict(zip(source.schema.fieldNames(), [f.dataType for f in source.schema.fields]))
+    key_col = F.col(rep_key)
+    dt = kind.get(rep_key)
+    import pyspark.sql.types as T
+
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ordinal = F.unix_micros(key_col.cast("timestamp"))
+    elif isinstance(dt, T.DateType):
+        ordinal = F.datediff(key_col, F.lit("1970-01-01")).cast("long")
+    else:
+        ordinal = key_col.cast("long")
+    batch = synced.withColumn(SDC_LSN, F.coalesce(ordinal, F.lit(0))).withColumn(
+        SDC_DELETED_AT, F.lit(None).cast("string")
+    )
+    result = table.merge_into(batch, epoch_id=epoch_id)
+    commit_bookmark(synced, stream, state)
+    return result
+
+
 def commit_bookmark(
     synced: DataFrame, stream: StreamDef, state: StateStore
 ) -> Any | None:

@@ -87,6 +87,42 @@ def test_bookmark_resume_and_forward_only(source, tmp_path):
     assert state.bookmark(stream.fqn) == "2023-06-01T00:00:00"
 
 
+def test_incremental_merge_into_lake(spark, tmp_path):
+    """INCREMENTAL → lake upsert: second sync sees only new rows, upserts
+    by key, advances the bookmark; re-running is idempotent."""
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.incremental import incremental_merge
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    stream = _stream()
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), widen_for_cdc(SCHEMA), ["id"], num_buckets=2
+    )
+    state = StateStore(str(tmp_path / "s.json"))
+
+    v1 = spark.createDataFrame(
+        [(1, datetime(2022, 1, 1), "Alpha"), (2, datetime(2023, 6, 1), "Bravo"),
+         (3, None, "NullKey")],
+        SCHEMA,
+    )
+    incremental_merge(v1, stream, table, state, epoch_id="sync-1")
+    assert {r["name"] for r in table.read().collect()} == {"Alpha", "Bravo", "NullKey"}
+    assert state.bookmark(stream.fqn) == "2023-06-01T00:00:00"
+
+    # source evolves: row 2 updated later, row 4 inserted, row 1 untouched
+    v2 = spark.createDataFrame(
+        [(1, datetime(2022, 1, 1), "Alpha"), (2, datetime(2024, 1, 1), "Bravo2"),
+         (3, None, "NullKey"), (4, datetime(2024, 2, 1), "Delta")],
+        SCHEMA,
+    )
+    incremental_merge(v2, stream, table, state, epoch_id="sync-2")
+    got = {r["id"]: r["name"] for r in table.read().collect()}
+    assert got == {1: "Alpha", 2: "Bravo2", 3: "NullKey", 4: "Delta"}
+    # replay of a committed sync is a no-op
+    res = incremental_merge(v2, stream, table, state, epoch_id="sync-2")
+    assert res["skipped"]
+
+
 def test_full_table_custom_where_and_limit(spark):
     # golden query semantics (test_stream_class.py:29-76):
     # WHERE id % 2 = 0 AND id % 3 = 0 LIMIT 1
