@@ -1,0 +1,73 @@
+"""Plan-shape assertions — the "would this survive 100×" checks.
+
+These pin the physical properties the 100 TB design depends on, so a
+future refactor that silently regresses them fails loudly:
+
+- the LWW agg fold runs as hash aggregation with a MAP-SIDE PARTIAL
+  phase (hot keys pre-folded before the shuffle)
+- small dimension joins go broadcast
+- the decode projection keeps payload parsing out of extra operators
+  (exactly one FilterExec over the projected helper columns)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tap_postgres_spark.operators import fold_last_writer_wins_agg
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_agg_fold_has_partial_aggregation(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("key"),
+        F.col("id").alias("_sdc_lsn"),
+        F.lit(1).alias("txid"),
+        F.col("id").cast("string").alias("v"),
+    )
+    plan = _plan(fold_last_writer_wins_agg(df, ["key"]))
+    # two-phase hash agg: partial max_by on the map side, final after the
+    # exchange — the skew-proofing property
+    assert plan.count("max_by") >= 2, plan
+    assert "Exchange hashpartitioning(key" in plan, plan
+
+
+def test_broadcast_join_for_small_dim(spark, tmp_path):
+    big = spark.range(10_000).withColumnRenamed("id", "k")
+    small = spark.createDataFrame([(i, f"n{i}") for i in range(10)], ["k", "name"])
+    plan = _plan(big.join(F.broadcast(small), "k"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fold_input_is_single_scan(spark):
+    """decode_stream's plan: one parquet scan feeding one projection —
+    no duplicated subtree re-reading the feed."""
+    import json as _json
+
+    from tap_postgres_spark.decode import classify, decode_stream, parse_raw_payloads
+    from tap_postgres_spark.schema import StreamDef
+    from pyspark.sql import types as T
+
+    payload = _json.dumps(
+        {"action": "I", "schema": "public", "table": "t",
+         "columns": [{"name": "id", "type": "integer", "value": "1"}]}
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, 1, payload)], "lsn long, txid long, payload string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "feed"))
+    raw = spark.read.parquet(os.path.join(d, "feed"))
+    stream = StreamDef(
+        "public", "t",
+        T.StructType([T.StructField("id", T.IntegerType())]), ("id",),
+    )
+    out = decode_stream(
+        classify(parse_raw_payloads(raw), ["public.t"]), stream, {"id": "integer"}
+    )
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1, plan
