@@ -28,15 +28,30 @@ from tap_postgres_spark.textops import _hash_family, _MERSENNE
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+def _pin_session(spark: SparkSession) -> None:
+    """The driver runs these callables in ITS session.  Timestamp-NTZ →
+    timestamp casts are session-timezone dependent; pin UTC (and
+    permissive casts) so results match the DuckDB oracle regardless of
+    the host session's defaults."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # fine if the conf is locked — no oracle query needs it
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -179,6 +194,7 @@ def q_bookmark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage (scan/join/agg/window/top-k)
 # ---------------------------------------------------------------------------
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -197,6 +213,7 @@ def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -217,6 +234,7 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    _pin_session(spark)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
