@@ -1,0 +1,78 @@
+"""Bulk (vectorized) feed generator → pipeline replay → DuckDB-fold
+equality — the bench.py correctness path, pinned at pytest scale."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tap_postgres_spark.feedgen import generate_bulk_feed
+from tap_postgres_spark.lake import LakeTable
+from tap_postgres_spark.modes.log_based import CdcPipeline
+from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+from tap_postgres_spark.state import StateStore
+
+SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+)
+FQN = "public.source_code_repos"
+
+
+def test_bulk_feed_replay_matches_duckdb_fold(spark, tmp_path):
+    feed_dir = str(tmp_path / "feed")
+    manifest = generate_bulk_feed(feed_dir, n_events=20_000, n_keys=3_000, n_files=8)
+    assert manifest["n_events"] == 20_000
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), widen_for_cdc(SCHEMA), ["repo", "path"],
+        num_buckets=8,
+    )
+    pipeline = CdcPipeline(
+        spark,
+        [StreamDef("public", "source_code_repos", SCHEMA, ("repo", "path"))],
+        {FQN: {f.name: "text" for f in SCHEMA.fields}},
+        {FQN: table},
+        StateStore(str(tmp_path / "state.json")),
+    )
+    files = sorted(f for f in os.listdir(feed_dir) if f.endswith(".parquet"))
+    for i in range(2):
+        chunk = [os.path.join(feed_dir, f) for f in files[i * 4 : (i + 1) * 4]]
+        pipeline.apply_batch(spark.read.parquet(*chunk), epoch_id=f"b{i}")
+    table.compact(max_delta_depth=1)
+
+    got = table.read().select(
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "repo", "path", "commit", "content")), 1, 15
+                ), 16, 10,
+            ).cast("long") % 1_000_003
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+
+    exp = duckdb.sql(
+        f"""
+        WITH ev AS (
+          SELECT lsn, json_extract_string(payload, '$.action') AS action,
+                 coalesce(json_extract_string(payload, '$.columns[0].value'),
+                          json_extract_string(payload, '$.identity[0].value')) AS repo,
+                 coalesce(json_extract_string(payload, '$.columns[1].value'),
+                          json_extract_string(payload, '$.identity[1].value')) AS path,
+                 json_extract_string(payload, '$.columns[2].value') AS commit,
+                 json_extract_string(payload, '$.columns[4].value') AS content
+          FROM read_parquet('{feed_dir}/feed-*.parquet')
+        ),
+        latest AS (SELECT *, row_number() OVER (
+            PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev)
+        SELECT sum((('0x' || substr(md5(repo || '|' || path || '|' || commit || '|' ||
+                     content), 1, 15))::bigint) % 1000003)::bigint AS s,
+               count(*) AS n
+        FROM latest WHERE rn = 1 AND action <> 'D'
+        """
+    ).fetchone()
+    assert (got["s"], got["n"]) == exp
