@@ -287,6 +287,10 @@ _MH_HASHES = 8
 _MH_BANDS = 4
 _SH_K = 3
 _SIMHASH_BITS = 32
+_MAX_HAMMING = 3
+# hot-bucket guard for the LSH pair join — exercised in the driver query
+# AND replicated in the DuckDB oracle (a HAVING over bucket counts)
+_MH_MAX_BUCKET = 64
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +301,8 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_SH_K
+        _docs(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        shingle_k=_SH_K, max_bucket_size=_MH_MAX_BUCKET,
     )
 
 
@@ -307,7 +312,8 @@ def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training pipeline would feed downstream."""
     docs = _docs(spark, sf_dir)
     pairs = textops.minhash_lsh_pairs(
-        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_SH_K
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        shingle_k=_SH_K, max_bucket_size=_MH_MAX_BUCKET,
     )
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
@@ -319,7 +325,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash_neardup_pairs(
-        _docs(spark, sf_dir), bits=_SIMHASH_BITS, max_hamming=3, prefix_bits=8
+        _docs(spark, sf_dir), bits=_SIMHASH_BITS, max_hamming=_MAX_HAMMING
     )
 
 
@@ -449,9 +455,15 @@ def _minhash_pairs_sql() -> str:
         )
         band_selects.append(f"SELECT doc_id, {bi} AS band, {cols} AS key FROM sig")
     banded = " UNION ALL ".join(band_selects)
+    # ok_buckets replicates the hot-bucket guard (max_bucket_size)
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
-banded AS ({banded})
+banded0 AS ({banded}),
+ok_buckets AS (
+  SELECT band, key FROM banded0 GROUP BY band, key
+  HAVING count(*) <= {_MH_MAX_BUCKET}
+),
+banded AS (SELECT b.* FROM banded0 b JOIN ok_buckets USING (band, key))
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
@@ -477,13 +489,21 @@ SELECT doc_id, {pack} AS simhash FROM sums
 
 
 def _simhash_pairs_sql() -> str:
+    # pigeonhole chunk blocking, same (offset, width) table as
+    # textops.simhash_chunks — recall 1 for hamming <= _MAX_HAMMING
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS ck,"
+        f" (simhash >> {off}) & {(1 << w) - 1} AS cv FROM s"
+        for c, off, w in textops.simhash_chunks(_SIMHASH_BITS, _MAX_HAMMING)
+    )
     return f"""
 WITH s AS ({_simhash_sql()}),
-blk AS (SELECT doc_id, simhash, simhash >> {_SIMHASH_BITS - 8} AS blk FROM s)
-SELECT a.doc_id AS a, b.doc_id AS b,
+blk AS ({chunk_selects})
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+FROM blk a JOIN blk b
+  ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
 """
 
 

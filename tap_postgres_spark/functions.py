@@ -18,8 +18,11 @@ from pyspark.sql import types as T
 # The reference repairs it with a regex then re-parses
 # (_wal_helpers.py:17-19,92-99; tests/test_consume.py:149-162).  The
 # pattern tolerates optional whitespace after the colon (wal2json output
-# is compact; pretty-printed test fixtures are not).
-_ENUM_QUOTE_PATTERN = r'("type":\s*)""([^"]*)""'
+# is compact; pretty-printed test fixtures are not).  The type name must be
+# non-empty ([^"]+, matching the reference's regex): a legitimate empty-
+# string value `"type":""` followed by another `""` elsewhere in the
+# payload must not be rewritten.
+_ENUM_QUOTE_PATTERN = r'("type":\s*)""([^"]+)""'
 
 
 def repair_enum_quotes(payload: Column) -> Column:

@@ -15,8 +15,9 @@ scratch on parquet + atomic metadata pointers:
 - **Merge-on-read deltas + compaction** — ``merge_into`` appends only the
   folded per-batch delta (O(|batch|) write, never O(|table|)), keeping
   delete tombstones; readers resolve last-writer-wins by ``_sdc_lsn``;
-  ``compact()`` folds a bucket's base+deltas into one file and drops
-  tombstones.  This is what keeps a 10^10-event replay write-bounded —
+  ``compact()`` folds a bucket's base+deltas into one file, retaining
+  tombstones until the committed bookmark floor passes them (out-of-order
+  replay safety).  This is what keeps a 10^10-event replay write-bounded —
   the copy-on-write alternative would rewrite the whole table every
   micro-batch.
 - **Exactly-once** — each commit records its ``epoch_id`` in table
@@ -301,6 +302,7 @@ class LakeTable:
         *,
         fold: str = "agg",
         mode: str = "mor",
+        drop_tombstones_below: int | None = None,
     ) -> dict[str, Any]:
         """MERGE INTO this table USING ``batch`` ON the key columns.
 
@@ -318,8 +320,19 @@ class LakeTable:
 
         - ``mode='mor'`` (default): append the folded delta only —
           O(|batch|) I/O; tombstones retained until :meth:`compact`.
-        - ``mode='cow'``: rewrite touched buckets (anti-join + union) —
-          reads stay merge-free, writes cost O(|touched buckets|).
+        - ``mode='cow'``: rewrite touched buckets by folding the resolved
+          target WITH the batch under LWW-by-``(_sdc_lsn, _sdc_gen)`` —
+          an out-of-order lower-LSN replay batch therefore loses to
+          already-applied newer rows AND to retained delete tombstones,
+          the same order-independence invariant as MOR.  Writes cost
+          O(|touched buckets|).
+
+        Tombstones are retained in both modes because they are the LSN
+        evidence that keeps replay order-independent.  Pass
+        ``drop_tombstones_below`` (the committed bookmark floor) to let a
+        COW rewrite discard only tombstones whose ``_sdc_lsn`` is below
+        the floor — events below the floor are filtered out before the
+        merge, so those tombstones can never be contradicted again.
 
         Returns the commit summary.  If ``epoch_id`` was already
         committed, returns ``{"skipped": True, ...}`` without writing
@@ -352,22 +365,24 @@ class LakeTable:
                 d for b, dl in meta["buckets"].items() if b in touched for d in dl
             ]
             target = self._read_dirs(target_dirs, new_schema, with_gen=True)
-            # resolve target's own base+deltas before merging new batch,
-            # dropping tombstones — a COW commit leaves clean buckets
-            if SDC_LSN in target.columns and target_dirs:
-                target = fold_last_writer_wins_agg(
-                    target, key_cols, (SDC_LSN, SDC_GEN)
-                )
-                if SDC_DELETED_AT in target.columns:
-                    target = target.filter(F.col(SDC_DELETED_AT).isNull())
             target = target.withColumn(
                 _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
             )
-            survivors = target.join(
-                bucketed.select(*key_cols), on=key_cols, how="left_anti"
+            # fold target base+deltas TOGETHER with the batch under
+            # LWW-by-(lsn, gen): the batch does NOT win unconditionally,
+            # so an out-of-order lower-LSN replay cannot overwrite or
+            # resurrect newer data (incl. tombstoned keys).
+            merged = fold_last_writer_wins_agg(
+                target.unionByName(bucketed), key_cols, (SDC_LSN, SDC_GEN)
             )
-            upserts = bucketed.filter(F.col(SDC_DELETED_AT).isNull())
-            merged = survivors.unionByName(upserts)
+            if SDC_DELETED_AT in merged.columns:
+                # tombstones are kept as LSN evidence; only those provably
+                # settled (below the committed bookmark floor) are dropped
+                if drop_tombstones_below is not None:
+                    merged = merged.filter(
+                        F.col(SDC_DELETED_AT).isNull()
+                        | (F.col(SDC_LSN) >= F.lit(int(drop_tombstones_below)))
+                    )
             written = self._write_bucketed(merged, rel_dir, meta["num_buckets"])
             buckets = {
                 b: list(dl) for b, dl in meta["buckets"].items() if b not in touched
@@ -442,11 +457,25 @@ class LakeTable:
         meta = self.metadata()
         return max((len(dl) for dl in meta["buckets"].values()), default=0)
 
-    def compact(self, max_delta_depth: int = 1) -> dict[str, Any]:
+    def compact(
+        self,
+        max_delta_depth: int = 1,
+        *,
+        drop_tombstones_below: int | None = None,
+    ) -> dict[str, Any]:
         """Fold every bucket with more than ``max_delta_depth`` stacked
-        dirs into a single file, dropping delete tombstones.  The
-        maintenance op that bounds merge-on-read amplification; called
-        automatically by the streaming runner on a depth threshold."""
+        dirs into a single file.  The maintenance op that bounds
+        merge-on-read amplification; called automatically by the
+        streaming runner on a depth threshold.
+
+        Delete tombstones are RETAINED by default: they are the LSN
+        evidence that makes reads order-independent, and a crash-restart
+        can replay a lower-LSN batch that would otherwise resurrect a
+        compacted-away delete.  Pass ``drop_tombstones_below`` (the
+        committed bookmark floor) to reclaim tombstones that can never be
+        contradicted again — events below the floor are filtered out
+        before any merge, so only those tombstones are provably safe to
+        drop."""
         meta = self.metadata()
         schema = T.StructType.fromJson(meta["schema"])
         key_cols = meta["key_columns"]
@@ -459,8 +488,11 @@ class LakeTable:
             [d for dl in todo.values() for d in dl], schema, with_gen=True
         )
         folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN, SDC_GEN))
-        if SDC_DELETED_AT in folded.columns:
-            folded = folded.filter(F.col(SDC_DELETED_AT).isNull())
+        if SDC_DELETED_AT in folded.columns and drop_tombstones_below is not None:
+            folded = folded.filter(
+                F.col(SDC_DELETED_AT).isNull()
+                | (F.col(SDC_LSN) >= F.lit(int(drop_tombstones_below)))
+            )
         folded = folded.withColumn(
             _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
         )

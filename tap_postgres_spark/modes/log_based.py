@@ -52,7 +52,7 @@ from ..decode import (
     finish_decode,
     parse_raw_payloads,
 )
-from ..schema import SDC_LSN
+from ..schema import SDC_DELETED_AT, SDC_LSN
 
 _GLOBAL_STATUSES = (
     STATUS_MALFORMED,
@@ -221,7 +221,19 @@ class CdcPipeline:
                 if not self.detect_evolution:
                     continue
                 width = obs.get.get(f"cols.{fqn}")
-                if width is None or width <= len(stream.spark_schema.fields):
+                # __ncols counts the event's DATA columns; a CDC-widened
+                # StreamDef (catalog.discover_lake_table) also carries the
+                # _sdc_lsn/_sdc_deleted_at system columns, which must not
+                # inflate the comparison or 1-2-column evolutions are
+                # silently missed
+                data_width = len(
+                    [
+                        f
+                        for f in stream.spark_schema.fields
+                        if f.name not in (SDC_LSN, SDC_DELETED_AT)
+                    ]
+                )
+                if width is None or width <= data_width:
                     continue
                 new_cols = self._discover_new_columns(classified, stream)
                 if not new_cols:
@@ -246,7 +258,15 @@ class CdcPipeline:
                     self.auto_compact_depth
                     and table.delta_depth() > self.auto_compact_depth
                 ):
-                    results[fqn]["compaction"] = table.compact()
+                    # tombstones below the committed filter floor can never
+                    # be contradicted by a replayed event (finish_decode
+                    # drops events <= floor), so only those are reclaimed
+                    floor = self.state.bookmark(fqn)
+                    results[fqn]["compaction"] = table.compact(
+                        drop_tombstones_below=(
+                            int(floor) if floor is not None else None
+                        )
+                    )
 
             # Track max LSN seen as a WATERMARK only (reference
             # max_lsn_seen, wal_reader.py:208,239).  The filter bookmark

@@ -29,7 +29,13 @@ def get_spark(
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]" if str(cores).isdigit() or cores == "*" else str(cores)
-    n_cores = os.cpu_count() or 8 if str(cores) == "*" else int(cores) if str(cores).isdigit() else 32
+    n_cores = (
+        (os.cpu_count() or 8)
+        if str(cores) == "*"
+        else int(cores)
+        if str(cores).isdigit()
+        else 32
+    )
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n_cores)
 

@@ -197,7 +197,7 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -206,13 +206,9 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
-    docs agreeing on ALL rows of any band become a candidate pair.  The
-    join is an equi-join on the band hash — shuffle bounded by band-bucket
-    sizes, never a cross join.  Returns distinct (a, b) with a < b.
-    """
+    """(id, band, key) rows: each doc's signature split into ``bands``
+    band keys — the LSH blocking relation shared by the pair join and the
+    hot-bucket guard."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
@@ -226,16 +222,82 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def minhash_lsh_oversized_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """(band, key, n) for LSH buckets ABOVE the cap — the 'no silent caps'
+    metric companion to :func:`minhash_lsh_pairs`: whatever the cap drops
+    is enumerable (and each oversized bucket is by construction a cluster
+    of ≥ ``max_bucket_size`` mutually-similar docs, so a dedup pipeline
+    can handle it with a cheaper keep-one-per-bucket rule instead of
+    materializing its O(n²) pairs)."""
+    banded = minhash_banded(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs agreeing on ALL rows of any band become a candidate pair.  The
+    join is an equi-join on the band hash — shuffle bounded by band-bucket
+    sizes, never a cross join.  Returns distinct (a, b) with a < b.
+
+    ``max_bucket_size`` is the hot-bucket guard: a degenerate band key
+    (empty docs, boilerplate) otherwise makes one bucket quadratic —
+    10^7 docs sharing a signature is 10^14 pairs from a single key.
+    Buckets holding more than ``max_bucket_size`` docs are excluded from
+    the pair join (the bucket count rides the same (band, key) shuffle);
+    enumerate what was dropped with :func:`minhash_lsh_oversized_buckets`
+    — the cap is never silent.
+    """
+    banded = minhash_banded(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    if max_bucket_size is not None:
+        counts = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+        banded = banded.join(counts, ["band", "key"])
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
         left.join(
             right,
-            (F.col(f"l.band") == F.col(f"r.band"))
-            & (F.col(f"l.key") == F.col(f"r.key"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
@@ -304,6 +366,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bi
     return sums.select(F.col(id_col), packed.alias("simhash"))
 
 
+def simhash_chunks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """Pigeonhole chunking of a ``bits``-wide hash into ``max_hamming + 1``
+    contiguous chunks: two hashes at Hamming distance ≤ ``max_hamming``
+    MUST agree on at least one chunk (there are more chunks than differing
+    bits).  Returns (chunk_id, bit_offset, width) triples; shared with the
+    SQL oracle so both engines block identically."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    out = []
+    off = 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        out.append((c, off, w))
+        off += w
+    return out
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -311,20 +390,39 @@ def simhash_neardup_pairs(
     *,
     bits: int = 32,
     max_hamming: int = 3,
-    prefix_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
-    blocked on the top ``prefix_bits`` bits (docs differing inside the
-    prefix are missed — the standard recall/cost trade; multiple rotated
-    prefix tables would push recall up at scale)."""
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``, via
+    pigeonhole chunk blocking: the hash is split into ``max_hamming + 1``
+    chunks and pairs are generated by equi-join on each chunk's value,
+    unioned and de-duplicated.
+
+    Recall is exactly 1 for ``hamming ≤ max_hamming`` (pigeonhole: k
+    differing bits cannot touch all k+1 chunks), unlike prefix blocking
+    which silently misses dups differing inside the prefix.  Expected
+    block size per chunk table is n / 2^(bits/(max_hamming+1)) — at
+    10^9 docs use ``bits=60`` (15-bit chunks → 32k buckets/table) to keep
+    the within-block self-join bounded.
+    """
     s = simhash(df, text_col, id_col, bits=bits)
-    s = s.withColumn("blk", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits))
-    a = s.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "blk")
-    b = s.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "blk")
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("ck"),
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("cv"),
+        )
+        for c, off, w in simhash_chunks(bits, max_hamming)
+    ]
+    blocked = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("b")
+    ).select(id_col, "simhash", F.col("b.ck").alias("ck"), F.col("b.cv").alias("cv"))
+    a = blocked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "ck", "cv")
+    b = blocked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "ck", "cv")
     return (
-        a.join(b, ["blk"])
+        a.join(b, ["ck", "cv"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )

@@ -127,11 +127,12 @@ def test_compaction_preserves_state_and_drops_tombstones(spark, tmp_path):
     before = _state(t)
     assert ("r", "p0") not in before and before[("r", "hot")] == ("h4", 104)
     assert t.delta_depth() > 1
-    res = t.compact()
+    # floor past the delete's lsn (200) → the tombstone is settled and may go
+    res = t.compact(drop_tombstones_below=201)
     assert not res["skipped"]
     assert t.delta_depth() == 1
     assert _state(t) == before
-    # tombstones physically gone
+    # settled tombstones physically gone
     assert t.read(include_tombstones=True).filter(
         F.col("_sdc_deleted_at").isNotNull()
     ).count() == 0

@@ -96,3 +96,67 @@ def test_fingerprint_normalization(spark):
         "doc_id", textops.fingerprint(F.col("text")).alias("fp")
     ).collect()}
     assert fp[1] == fp[2] != fp[3]
+
+
+def test_simhash_neardup_recall_is_exact_vs_bruteforce(spark, docs):
+    """Pigeonhole chunk blocking must return EXACTLY the brute-force pair
+    set for hamming <= max_hamming (recall 1, and the hamming filter makes
+    precision 1 too) — VERDICT round-1 item #1."""
+    sample = docs.limit(120)
+    s = textops.simhash(sample, bits=32)
+    a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["a"], r["b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("h", F.bit_count(F.expr("ha ^ hb")).cast("long"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["a"], r["b"], r["hamming"])
+        for r in textops.simhash_neardup_pairs(sample, bits=32, max_hamming=3).collect()
+    }
+    assert blocked == brute
+    assert brute  # the corpus must actually contain near-dups for this to mean anything
+
+
+def test_simhash_chunks_cover_all_bits():
+    for bits, mh in [(32, 3), (60, 3), (32, 1), (33, 3)]:
+        chunks = textops.simhash_chunks(bits, mh)
+        assert len(chunks) == mh + 1
+        assert sum(w for _, _, w in chunks) == bits
+        # contiguous, non-overlapping
+        off = 0
+        for _c, o, w in chunks:
+            assert o == off
+            off += w
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """Adversarial corpus: many identical docs share every band key.
+    Without the cap the pair count is quadratic; with it the degenerate
+    bucket is excluded and enumerated — VERDICT round-1 item #4."""
+    n_dup = 200
+    rows = [(i, "identical boilerplate text repeated everywhere always") for i in range(n_dup)]
+    rows += [(1000, "a unique document about sparks and rivers flowing"),
+             (1001, "a unique document about sparks and rivers glowing")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = textops.minhash_lsh_pairs(
+        df, num_hashes=16, bands=8, max_bucket_size=50
+    )
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    # the quadratic cluster (19900 pairs) is gone; the small near-dup pair survives
+    assert all(a >= 1000 for a, _b in got)
+    assert (1000, 1001) in got
+
+    oversized = textops.minhash_lsh_oversized_buckets(
+        df, num_hashes=16, bands=8, max_bucket_size=50
+    ).collect()
+    assert oversized and all(r["n"] == n_dup for r in oversized)
+
+    # sanity: uncapped does produce the quadratic pair set
+    uncapped = textops.minhash_lsh_pairs(df, num_hashes=16, bands=8)
+    assert uncapped.count() == n_dup * (n_dup - 1) // 2 + 1
