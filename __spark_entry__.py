@@ -348,6 +348,43 @@ def q_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH constants shared by the Spark queries and the SQL oracles
+_LSH_DIM = 64
+_ND_PLANES = 6
+_ND_SEEDS = (7, 13, 29, 41)
+_ND_THRESHOLD = 0.35
+_TOPK_PLANES = 4
+_TOPK_SEED = 7
+
+
+def q_neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup: hyperplane-LSH bucket blocking (bounded
+    block sizes by construction) instead of the data-column blocking of
+    ``neardup_embeddings``."""
+    return vectorops.neardup_pairs_lsh(
+        _emb(spark, sf_dir), dim=_LSH_DIM, threshold=_ND_THRESHOLD,
+        n_planes=_ND_PLANES, seeds=_ND_SEEDS, round_to=4,
+    )
+
+
+def q_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    return vectorops.lsh_bucket_topk(
+        _emb(spark, sf_dir), q, k=10,
+        n_planes=_TOPK_PLANES, seed=_TOPK_SEED, round_to=4,
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard verify stage over the LSH candidate pairs."""
+    docs = _docs(spark, sf_dir)
+    pairs = textops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        shingle_k=_SH_K, max_bucket_size=_MH_MAX_BUCKET,
+    )
+    return textops.ngram_jaccard(docs, pairs, shingle_k=_SH_K)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cids = [0, 50, 100, 150]
@@ -403,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "neardup_embeddings": q_neardup_embeddings,
+        "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
         "multimodal_stats": q_multimodal_stats,
     }
@@ -504,6 +544,77 @@ SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
 FROM blk a JOIN blk b
   ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+def _hplane_bits_sql(n_planes: int, seed: int, vec_expr: str) -> str:
+    """Hyperplane sign-bit bucket expression, same LCG plane constants as
+    vectorops.make_planes — repr() round-trips doubles exactly, so both
+    engines evaluate the identical literals."""
+    planes = vectorops.make_planes(_LSH_DIM, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) >= 0"
+            f" THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        )
+    return " + ".join(terms)
+
+
+def _neardup_lsh_sql() -> str:
+    table_selects = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS t,"
+        f" {_hplane_bits_sql(_ND_PLANES, seed, 'embedding::DOUBLE[]')} AS bkt"
+        " FROM embeddings"
+        for t, seed in enumerate(_ND_SEEDS)
+    )
+    return f"""
+WITH blocked AS ({table_selects})
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM blocked a JOIN blocked b
+  ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= {_ND_THRESHOLD}
+"""
+
+
+def _lsh_topk_sql() -> str:
+    bits = _hplane_bits_sql(_TOPK_PLANES, _TOPK_SEED, "embedding::DOUBLE[]")
+    qbits = _hplane_bits_sql(
+        _TOPK_PLANES, _TOPK_SEED, "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {bits} AS bkt FROM embeddings)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos_sim
+FROM b, q
+WHERE bkt = ({qbits})
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+{_shingle_cte()},
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS n_inter
+  FROM pairs p
+  JOIN dsh sa ON sa.doc_id = p.a
+  JOIN dsh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b,
+       round(i.n_inter::DOUBLE / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
 """
 
 
@@ -655,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.30
         """,
+        "neardup_embeddings_lsh": _neardup_lsh_sql(),
+        "lsh_bucket_topk": _lsh_topk_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
         "ivf_topk": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
                        WHERE vec_id IN (0, 50, 100, 150)),

@@ -79,3 +79,63 @@ def test_neardup_pairs_blocked(spark):
         df, threshold=0.99
     ).collect()}
     assert got == {(1, 2)}
+
+
+def test_neardup_pairs_lsh_exact_dups_and_precision(spark, emb):
+    """LSH-bucket blocking (VERDICT round-1 item #2): identical vectors
+    share every bucket → recall 1 on exact dups; results are a subset of
+    brute force (precision 1 via the exact cosine filter)."""
+    # plant an exact duplicate of vec 0 with a new id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(dup)
+    got = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in vectorops.neardup_pairs_lsh(
+            df, dim=64, threshold=0.9, n_planes=6, seeds=(7, 13)
+        ).collect()
+    }
+    assert (0, 9999) in got and got[(0, 9999)] == 1.0
+
+    # subset-of-bruteforce at a permissive threshold
+    lsh = {
+        (r["a"], r["b"])
+        for r in vectorops.neardup_pairs_lsh(
+            df, dim=64, threshold=0.3, n_planes=6, seeds=(7, 13)
+        ).collect()
+    }
+    a = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("s", vectorops.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("s") >= 0.3)
+        .collect()
+    }
+    assert lsh <= brute and lsh
+
+
+def test_neardup_pairs_lsh_buckets_bounded_under_label_skew(spark):
+    """The failure mode of label blocking: one hot label. LSH buckets must
+    still split the corpus (bounded blocks) because they depend only on
+    vector geometry, never on data-column cardinality."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0)  # ALL same label
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    planes = vectorops.make_planes(64, 6, 7)
+    sizes = (
+        df.select(vectorops.hyperplane_bits(F.col("embedding"), planes).alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert sizes < 40  # 400 vectors over 64 buckets — no degenerate block
