@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tap_postgres_spark import textops, vectorops
+from tap_postgres_spark import stream_maps, textops, vectorops
 from tap_postgres_spark.modes import full_table_scan, incremental_scan
 from tap_postgres_spark.operators import fold_last_writer_wins
 from tap_postgres_spark.schema import StreamDef
@@ -396,6 +396,43 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectorops.ivf_topk(emb, q, centroids, k=10, n_probe=1, round_to=4)
 
 
+_KM_K = 4
+_KM_ITER = 2
+_KM_ROUND = 6
+
+
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids (deterministic Lloyd k-means,
+    VERDICT round-1 item #8) instead of caller-supplied ones."""
+    emb = _emb(spark, sf_dir)
+    cents = vectorops.train_centroids(
+        emb, k=_KM_K, n_iter=_KM_ITER, round_to=_KM_ROUND
+    )
+    q = _query_vec(spark, sf_dir, 7)
+    return vectorops.ivf_topk(
+        emb, q, cents, k=10, n_probe=1, round_to=4, assign_round_to=_KM_ROUND
+    )
+
+
+def q_stream_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-map + schema-flattening surface (reference README.md:13-14):
+    row filter with config interpolation, PII-style column drop, computed
+    column, and nested-JSON flattening to props__k — all one projection."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nested = ev.withColumn("props", F.from_json("props", "k int"))
+    mapped = stream_maps.apply_stream_map(
+        nested,
+        {
+            "__filter__": "event_type <> {drop_type}",
+            "ts": None,
+            "value": None,
+            "value_cents": "CAST(floor(value * 100) AS BIGINT)",
+        },
+        config={"drop_type": "view"},
+    )
+    return stream_maps.flatten(mapped, max_depth=1)
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing over text-as-bytes (no binary test table in
     the driver set): byte length + sha256 without decoding."""
@@ -403,6 +440,47 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END binary decode: deterministic PCM samples → real RIFF/WAV
+    bytes (multimodal.encode_wav) → real parser (multimodal.decode_wav via
+    the mapInPandas decode stage) → audio features.  The oracle computes
+    the same features straight from the sample formula, so any encoder or
+    parser bug breaks the match."""
+    import pandas as pd
+
+    from tap_postgres_spark import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "data": pdf["doc_id"].map(
+                        lambda i: multimodal.encode_wav(
+                            multimodal.synth_samples(int(i))
+                        )
+                    ),
+                }
+            )
+
+    wav = docs.mapInPandas(
+        _mk, schema="media_id long, kind string, mime string, data binary"
+    )
+    dec = multimodal.decode_media(wav)
+    return dec.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        F.round("mean_sample", 6).alias("mean_sample"),
+        F.round("rms", 6).alias("rms"),
     )
 
 
@@ -444,7 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_trained": q_ivf_topk_trained,
+        "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
     }
 
 
@@ -618,6 +699,61 @@ JOIN sizes nb ON nb.doc_id = i.b
 """
 
 
+def _ivf_trained_sql() -> str:
+    """Unrolled Lloyd iterations — the SQL replay of train_centroids:
+    same seeds (k lowest ids), same rounded-similarity argmax with
+    lowest-cid tie-break, same rounded per-dimension means."""
+
+    def assign(src_cent: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec),
+                            {_KM_ROUND}) DESC, s.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {src_cent} s) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT {_KM_K})
+)"""
+    ]
+    src = "seeds"
+    for i in range(1, _KM_ITER + 1):
+        parts.append(assign(src, f"a{i}"))
+        parts.append(
+            f"""u{i} AS (
+  SELECT cid, g.ord AS ord, round(avg(emb[g.ord]), {_KM_ROUND}) AS m
+  FROM a{i}, range(1, {_LSH_DIM + 1}) AS g(ord) GROUP BY cid, g.ord
+)"""
+        )
+        parts.append(
+            f"c{i} AS (SELECT cid, list(m ORDER BY ord) AS cvec FROM u{i} GROUP BY cid)"
+        )
+        src = f"c{i}"
+    parts.append(
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)"
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT cid AS probe_cid FROM {src}, q
+  ORDER BY list_cosine_similarity(cvec, qv) DESC, cid ASC LIMIT 1
+)"""
+    )
+    parts.append(assign(src, "fin"))
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, round(list_cosine_similarity(emb, qv), 4) AS cos_sim
+FROM fin, q, probe WHERE cid = probe_cid
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _lang_id_sql() -> str:
     langs = sorted(textops.LANG_PROFILES)
     score_exprs = []
@@ -788,9 +924,31 @@ def oracle_sql() -> dict[str, str]:
             FROM sims, q, probe WHERE rn = 1 AND cid = probe_cid
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
+        "ivf_topk_trained": _ivf_trained_sql(),
+        "stream_map_events": """
+            SELECT event_id, user_id, event_type,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS props__k,
+                   CAST(floor(value * 100) AS BIGINT) AS value_cents
+            FROM events WHERE event_type <> 'view'
+        """,
         "multimodal_stats": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha256
             FROM documents
+        """,
+        # replays the synth-sample formula directly — the Spark side must
+        # round-trip the same numbers through real WAV bytes to match
+        "multimodal_wav_decode": """
+            WITH g AS (
+              SELECT doc_id, ((doc_id * 7919 + i.ord * 104729) % 65536) - 32768 AS s
+              FROM documents, range(0, 128) AS i(ord)
+            )
+            SELECT doc_id AS media_id,
+                   count(*)::BIGINT AS n_samples,
+                   8000 AS sample_rate,
+                   16::BIGINT AS duration_ms,
+                   round(sum(s)::DOUBLE / count(*), 6) AS mean_sample,
+                   round(sqrt(sum(s::DOUBLE * s::DOUBLE) / count(*)), 6) AS rms
+            FROM g GROUP BY doc_id
         """,
     }

@@ -1,0 +1,99 @@
+"""Metadata growth bounds (VERDICT round-1 item #7): commits write delta
+manifests (O(touched buckets) bytes), full bucket maps only on checkpoint
+versions, and the exactly-once epoch map is pruned to a retention window —
+so a 10^5-commit stream's metadata stays O(1) per commit instead of
+O(commits) per version / O(commits²) cumulative."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from tap_postgres_spark.lake import LakeTable
+from tap_postgres_spark.schema import widen_for_cdc
+
+SCHEMA = widen_for_cdc(
+    T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+        ]
+    )
+)
+
+_BATCH_SCHEMA = (
+    "repo string, path string, content string, _sdc_lsn long, "
+    "_sdc_deleted_at string, txid long, _action string"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(r, p, c, l, None, 1, "U") for r, p, c, l in rows], _BATCH_SCHEMA
+    )
+
+
+def _msize(t, v):
+    return os.path.getsize(os.path.join(t.path, "metadata", f"v{v:08d}.json"))
+
+
+@pytest.fixture()
+def small_windows(monkeypatch):
+    monkeypatch.setattr(LakeTable, "CHECKPOINT_INTERVAL", 5)
+    monkeypatch.setattr(LakeTable, "EPOCH_RETENTION", 10)
+
+
+def test_delta_manifest_size_constant_and_reads_correct(spark, tmp_path, small_windows):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=4)
+    n = 23
+    for i in range(n):
+        t.merge_into(_batch(spark, [("r", "hot", f"v{i}", 10 + i)]), epoch_id=f"e{i}")
+
+    metas = {v: t.metadata(v) for v in range(2, n + 2)}
+    deltas = [v for v, m in metas.items() if "buckets_delta" in m]
+    checkpoints = [v for v, m in metas.items() if "buckets" in m]
+    assert deltas and checkpoints
+    assert all(v % 5 == 0 for v in checkpoints)
+
+    # delta manifests don't grow with commit count: a late delta is no
+    # bigger than an early one (within jitter from the version numbers)
+    early, late = _msize(t, deltas[1]), _msize(t, deltas[-1])
+    assert late <= early * 1.2
+
+    # correctness across the manifest chain: final state + time travel
+    assert {r["content"] for r in t.read().collect()} == {f"v{n-1}"}
+    assert {r["content"] for r in t.read(version=5).collect()} == {"v3"}
+    # buckets_map at a delta version == reconstruction through the chain
+    assert t.delta_depth() == n  # single hot bucket, no compaction yet
+
+    # compaction writes a 'set' delta and reads still resolve
+    t.compact(max_delta_depth=1)
+    assert t.delta_depth() == 1
+    assert {r["content"] for r in t.read().collect()} == {f"v{n-1}"}
+
+
+def test_epoch_retention_prunes_but_guards_recent_replays(spark, tmp_path, small_windows):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=2)
+    for i in range(15):
+        t.merge_into(_batch(spark, [("r", f"p{i}", "v", 10 + i)]), epoch_id=f"e{i}")
+    epochs = t.committed_epochs()
+    assert len(epochs) == 10  # pruned to retention
+    assert "e0" not in epochs and "e14" in epochs
+    # recent replay (the only kind Spark's checkpoint can produce) is a no-op
+    v = t.current_version()
+    res = t.merge_into(_batch(spark, [("r", "p14", "DUP", 99)]), epoch_id="e14")
+    assert res["skipped"] and t.current_version() == v
+
+
+def test_fresh_instance_resolves_chain_from_disk(spark, tmp_path, small_windows):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], num_buckets=2)
+    for i in range(7):
+        t.merge_into(_batch(spark, [("r", "p", f"v{i}", 10 + i)]), epoch_id=f"e{i}")
+    # a brand-new handle (empty cache) must reconstruct identical state
+    t2 = LakeTable(spark, path)
+    assert t2.buckets_map() == t.buckets_map()
+    assert {r["content"] for r in t2.read().collect()} == {"v6"}

@@ -37,3 +37,50 @@ def test_sample_frames_expands_rows(spark):
     assert per  # only video rows
     for r in per:
         assert r["n"] == max(1, r["meta_duration_ms"] // 500)
+
+
+def test_wav_roundtrip_exact():
+    samples = multimodal.synth_samples(5, n=200)
+    wav = multimodal.encode_wav(samples, sample_rate=16000)
+    got = multimodal.decode_wav(wav)
+    assert got["n_samples"] == 200
+    assert got["sample_rate"] == 16000
+    assert got["channels"] == 1
+    assert got["duration_ms"] == 200 * 1000 // 16000
+    assert got["mean_sample"] == sum(samples) / 200
+    # extra chunk between fmt and data must be skipped, not break parsing
+    hdr, rest = wav[:12], wav[12:]
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    assert multimodal.decode_wav(hdr + extra + rest)["n_samples"] == 200
+
+
+def test_ppm_roundtrip_and_comment_header():
+    px = multimodal.synth_pixels(3, 4, 2)
+    ppm = multimodal.encode_ppm(4, 2, px)
+    got = multimodal.decode_ppm(ppm)
+    assert (got["width"], got["height"]) == (4, 2)
+    assert got["mean_r"] == sum(px[0::3]) / 8
+    commented = b"P6\n# a comment\n4 2\n255\n" + px
+    assert multimodal.decode_ppm(commented) == got
+
+
+def test_decode_media_real_and_contained_failures(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    dec = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert len(dec) == 12
+    for mid, r in dec.items():
+        if r["kind"] == "audio":
+            assert r["decoded"] and r["n_samples"] == 128 and r["sample_rate"] == 8000
+            assert r["rms"] > 0 and r["err"] is None
+        elif r["kind"] == "image":
+            assert r["decoded"] and r["width"] > 0 and 0 <= r["mean_g"] <= 255
+        else:  # video: honestly undecodable here, contained not fatal
+            assert not r["decoded"] and "no decoder" in r["err"]
+
+    # corrupt payload: contained per-row failure, not a task error
+    bad = spark.createDataFrame(
+        [(99, "audio", "audio/wav", bytearray(b"RIFFgarbage"))],
+        "media_id long, kind string, mime string, data binary",
+    )
+    r = multimodal.decode_media(bad).collect()[0]
+    assert not r["decoded"] and r["err"]

@@ -139,3 +139,33 @@ def test_neardup_pairs_lsh_buckets_bounded_under_label_skew(spark):
         .first()[0]
     )
     assert sizes < 40  # 400 vectors over 64 buckets — no degenerate block
+
+
+def test_train_centroids_deterministic_and_improves_assignment(spark, emb):
+    c1 = vectorops.train_centroids(emb, k=4, n_iter=2)
+    c2 = vectorops.train_centroids(emb, k=4, n_iter=2)
+    assert c1 == c2  # fully deterministic (no RNG)
+    assert len(c1) <= 4 and all(len(v) == 64 for _cid, v in c1)
+
+    # Lloyd objective is monotone: mean similarity-to-assigned-centroid
+    # after training >= after 0 iterations (the seed assignment)
+    def mean_sim(cents):
+        a = vectorops.ivf_assign(emb, cents, round_to=6)
+        exprs = None
+        for cid, cvec in cents:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            s = vectorops.cosine(F.col("embedding"), c)
+            exprs = F.when(F.col("centroid_id") == cid, s) if exprs is None else exprs.when(F.col("centroid_id") == cid, s)
+        return a.select(F.avg(exprs).alias("m")).first()["m"]
+
+    seeds = vectorops.train_centroids(emb, k=4, n_iter=0)
+    assert mean_sim(c1) >= mean_sim(seeds) - 1e-9
+
+
+def test_train_centroids_drops_empty_clusters(spark):
+    # two tight groups + k=3 seeds: one seed's cluster is absorbed
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)]
+    rows += [(10 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = vectorops.train_centroids(df, k=3, n_iter=2)
+    assert len(cents) <= 2  # seeds 0,1,2 are identical vectors → one survives
