@@ -414,6 +414,16 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_singer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singer RECORD rendering (the reference's stdout message stream,
+    tap.py:784-797) — executor-side to_json, one message line per row."""
+    from tap_postgres_spark import singer
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    stream = StreamDef("public", "nation", nation.schema, ("n_nationkey",))
+    return singer.record_messages(nation, stream)
+
+
 def q_stream_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-map + schema-flattening surface (reference README.md:13-14):
     row filter with config interpolation, PII-style column drop, computed
@@ -523,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
+        "singer_records": q_singer_records,
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_wav_decode": q_multimodal_wav_decode,
@@ -925,6 +936,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
         "ivf_topk_trained": _ivf_trained_sql(),
+        "singer_records": """
+            SELECT '{"type": "RECORD", "stream": "public.nation", "record": '
+                   || to_json(struct_pack(
+                        n_nationkey := n_nationkey,
+                        n_name := n_name,
+                        n_regionkey := n_regionkey))
+                   || '}' AS message
+            FROM nation
+        """,
         "stream_map_events": """
             SELECT event_id, user_id, event_type,
                    CAST(json_extract(props, '$.k') AS INTEGER) AS props__k,

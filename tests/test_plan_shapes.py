@@ -71,3 +71,32 @@ def test_fold_input_is_single_scan(spark):
     )
     plan = _plan(out)
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_neardup_blocking_plans_have_no_cartesian_product(spark):
+    """Every pairwise near-dup operator must join through a blocking key —
+    a CartesianProduct/BroadcastNestedLoopJoin in any of these plans means
+    an O(n²) stage snuck back in (the round-1 scale-killers)."""
+    from tap_postgres_spark import textops, vectorops
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with some shared words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 0.25]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plans = {
+        "simhash_neardup": _plan(textops.simhash_neardup_pairs(docs, bits=32)),
+        "minhash_capped": _plan(
+            textops.minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket_size=32)
+        ),
+        "neardup_lsh": _plan(
+            vectorops.neardup_pairs_lsh(emb, dim=4, threshold=0.9, n_planes=4, seeds=(7, 13))
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, (name, plan)
