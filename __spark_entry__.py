@@ -308,15 +308,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup materializer: documents surviving MinHash-LSH dedup
-    (for each candidate pair a<b the higher id is dropped) — the keep-list
-    a training pipeline would feed downstream."""
-    docs = _docs(spark, sf_dir)
-    pairs = textops.minhash_lsh_pairs(
-        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+    (pair losers dropped; oversized-bucket members deduped by the
+    keep-lowest-id-per-bucket rule) — the keep-list a training pipeline
+    would feed downstream."""
+    return textops.minhash_dedup_keep(
+        _docs(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS,
         shingle_k=_SH_K, max_bucket_size=_MH_MAX_BUCKET,
     )
-    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
-    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,19 +576,26 @@ FROM hashed GROUP BY doc_id
 """
 
 
-def _minhash_pairs_sql() -> str:
+def _banded_sql(sig_cte: str) -> str:
+    """(doc_id, band, key) rows from a minhash-signature CTE — shared by
+    the pair join and the oversized-bucket dedup rule."""
     rows_per_band = _MH_HASHES // _MH_BANDS
     band_selects = []
     for bi in range(_MH_BANDS):
         cols = " || ',' || ".join(
             f"mh{bi * rows_per_band + r}::varchar" for r in range(rows_per_band)
         )
-        band_selects.append(f"SELECT doc_id, {bi} AS band, {cols} AS key FROM sig")
-    banded = " UNION ALL ".join(band_selects)
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, {cols} AS key FROM {sig_cte}"
+        )
+    return " UNION ALL ".join(band_selects)
+
+
+def _minhash_pairs_sql() -> str:
     # ok_buckets replicates the hot-bucket guard (max_bucket_size)
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
-banded0 AS ({banded}),
+banded0 AS ({_banded_sql('sig')}),
 ok_buckets AS (
   SELECT band, key FROM banded0 GROUP BY band, key
   HAVING count(*) <= {_MH_MAX_BUCKET}
@@ -889,9 +894,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _minhash_sig_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
         "minhash_dedup_docs": f"""
-            WITH pairs AS ({_minhash_pairs_sql()})
+            WITH pairs AS ({_minhash_pairs_sql()}),
+            sig2 AS ({_minhash_sig_sql()}),
+            banded2 AS ({_banded_sql('sig2')}),
+            over_drop AS (
+              SELECT doc_id FROM banded2
+              QUALIFY count(*) OVER (PARTITION BY band, key) > {_MH_MAX_BUCKET}
+                  AND doc_id <> min(doc_id) OVER (PARTITION BY band, key)
+            )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT b FROM pairs)
+              AND doc_id NOT IN (SELECT doc_id FROM over_drop)
         """,
         "simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),

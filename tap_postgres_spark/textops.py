@@ -306,6 +306,49 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def minhash_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Documents SURVIVING MinHash-LSH dedup: for each candidate pair
+    a<b the higher id drops; members of buckets above the hot-bucket cap
+    (whose pairwise comparisons are deliberately skipped) are deduped by
+    the cheaper keep-lowest-id-per-bucket rule instead — an oversized LSH
+    bucket is by construction a cluster of near-identical docs, so
+    enumerating its O(n²) pairs adds nothing the bucket key didn't
+    already say.  Without this rule the cap would silently leave a
+    10^7-copy boilerplate cluster fully un-deduped."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    )
+    drop = pairs.select(F.col("b").alias(id_col))
+    if max_bucket_size is not None:
+        banded = minhash_banded(
+            df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        )
+        counts = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_keep"))
+            .filter(F.col("_bn") > max_bucket_size)
+        )
+        over_drop = (
+            banded.join(counts, ["band", "key"])
+            .filter(F.col(id_col) != F.col("_keep"))
+            .select(id_col)
+        )
+        drop = drop.unionByName(over_drop)
+    return df.join(drop.distinct(), id_col, "left_anti").select(id_col)
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

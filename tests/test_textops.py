@@ -160,3 +160,23 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     # sanity: uncapped does produce the quadratic pair set
     uncapped = textops.minhash_lsh_pairs(df, num_hashes=16, bands=8)
     assert uncapped.count() == n_dup * (n_dup - 1) // 2 + 1
+
+
+def test_minhash_dedup_keep_handles_oversized_buckets(spark):
+    """The hot-bucket cap must not leave a giant dup cluster un-deduped:
+    oversized-bucket members dedup by keep-lowest-id-per-bucket."""
+    n_dup = 120
+    rows = [(i, "identical boilerplate text repeated everywhere always") for i in range(n_dup)]
+    rows += [(1000, "a unique document about sparks and rivers flowing"),
+             (1001, "a unique document about sparks and rivers glowing"),
+             (2000, "an entirely different text about mountains and snow here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {
+        r["doc_id"]
+        for r in textops.minhash_dedup_keep(
+            df, num_hashes=16, bands=8, max_bucket_size=50
+        ).collect()
+    }
+    # cluster of 120 → exactly one survivor (id 0); near-dup pair keeps 1000;
+    # the unique doc survives
+    assert kept == {0, 1000, 2000}
