@@ -235,6 +235,44 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join where customer and supplier must share a
+    nation, restricted to one region.  Scale story: the three dimension
+    tables (region→nation→customer/supplier) are broadcast — the only
+    shuffle is lineitem⋈orders on orderkey; the region predicate prunes
+    through the broadcast chain before any fact rows move."""
+    _pin_session(spark)
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(dim), supp["s_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -513,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bookmark_filter": q_bookmark_filter,
         "q1_pricing": q_q1_pricing,
         "q3_top_orders": q_q3_top_orders,
+        "q5_nation_volume": q_q5_nation_volume,
         "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -862,6 +901,20 @@ def oracle_sql() -> dict[str, str]:
                  JOIN customer ON o_custkey = c_custkey
             GROUP BY o_orderkey
             ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_nation_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                                  AND c_nationkey = s_nationkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
         """,
         "topk_per_group": """
             SELECT o_orderpriority, rk, o_orderkey, o_totalprice
