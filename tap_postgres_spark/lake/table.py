@@ -81,6 +81,27 @@ def _count_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _footer_max_column(files: list[str], column: str) -> int | None:
+    """Max value of ``column`` across files, read from parquet row-group
+    statistics — no data scan, no Spark job.  None if stats are absent."""
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                v = st.max
+                if best is None or v > best:
+                    best = v
+    return best
+
+
 class LakeTable:
     """A bucketed, versioned CDC target table.
 
@@ -474,6 +495,20 @@ class LakeTable:
         committed = dict(meta["committed_epochs"])
         if epoch_id is not None:
             committed[epoch_id] = new_version
+        # per-partition (bucket) LSN watermarks from parquet footer stats —
+        # the north-rule "checkpoints carrying per-partition LSN watermarks",
+        # at zero extra Spark jobs (row-group min/max statistics)
+        bucket_watermarks = {}
+        if any(f.name == SDC_LSN for f in new_schema.fields):
+            for b, dl in written.items():
+                files = [
+                    f
+                    for d in dl
+                    for f in _list_parquet_files(os.path.join(self.path, d))
+                ]
+                wm = _footer_max_column(files, SDC_LSN)
+                if wm is not None:
+                    bucket_watermarks[b] = int(wm)
         summary = {
             "operation": f"merge-{mode}",
             "epoch_id": epoch_id,
@@ -482,6 +517,7 @@ class LakeTable:
             # per-partition lineage: which buckets this commit touched and
             # the data dir that holds the rows (north-rule lineage+metrics)
             "lineage": {b: dl for b, dl in written.items()},
+            "bucket_watermarks": bucket_watermarks,
         }
         base = {k: v for k, v in meta.items() if k not in ("buckets", "buckets_delta")}
         self._write_metadata(

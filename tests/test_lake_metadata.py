@@ -97,3 +97,26 @@ def test_fresh_instance_resolves_chain_from_disk(spark, tmp_path, small_windows)
     t2 = LakeTable(spark, path)
     assert t2.buckets_map() == t.buckets_map()
     assert {r["content"] for r in t2.read().collect()} == {"v6"}
+
+
+def test_bucket_watermarks_in_commit_summary(spark, tmp_path):
+    """North rule: commits carry per-partition (bucket) LSN watermarks —
+    read from parquet footer stats, no extra job."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=2)
+    res = t.merge_into(
+        _batch(spark, [("r", f"p{i}", "v", 100 + i) for i in range(8)]),
+        epoch_id="e0",
+    )
+    wms = res["bucket_watermarks"]
+    assert set(wms) == set(res["buckets_written"])
+    # each bucket's watermark is the true max lsn of its rows
+    from pyspark.sql import functions as F
+    got = {
+        str(r["b"]): r["m"]
+        for r in t.read()
+        .withColumn("b", F.pmod(F.xxhash64("repo", "path"), F.lit(2)).cast("int"))
+        .groupBy("b").agg(F.max("_sdc_lsn").alias("m")).collect()
+    }
+    assert wms == got
+    # the same doc lands in the version metadata summary
+    assert t.metadata()["summary"]["bucket_watermarks"] == wms
