@@ -87,6 +87,7 @@ class CdcPipeline:
         detect_evolution: bool = True,
         auto_compact_depth: int = 12,
         merge_mode: str = "mor",
+        stream_maps: dict[str, dict] | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -100,6 +101,31 @@ class CdcPipeline:
         self.detect_evolution = detect_evolution
         self.auto_compact_depth = auto_compact_depth
         self.merge_mode = merge_mode
+        # per-fqn stream maps applied to decoded rows before the merge —
+        # the SDK applies maps to every RECORD before emission (reference
+        # README.md:13,51-53); here it is one extra projection on the
+        # decode plan.  Maps must not drop key or _sdc_* columns (the
+        # merge needs them); validated at apply time.
+        self.stream_maps = stream_maps or {}
+
+    def _apply_stream_map(self, df, stream: StreamDef):
+        mapping = self.stream_maps.get(stream.fqn)
+        if not mapping:
+            return df
+        from ..schema import SDC_DELETED_AT, SDC_LSN
+        from ..stream_maps import apply_stream_map
+
+        protected = set(stream.key_properties) | {SDC_LSN, SDC_DELETED_AT}
+        dropped = {
+            k
+            for k, v in mapping.items()
+            if k in protected and (v is None or v == "__NULL__")
+        }
+        if dropped:
+            raise ValueError(
+                f"stream map for {stream.fqn} drops protected columns {sorted(dropped)}"
+            )
+        return apply_stream_map(df, mapping)
 
     # ------------------------------------------------------------------
     def _discover_new_columns(
@@ -189,7 +215,9 @@ class CdcPipeline:
                 )
                 if observed_df is None:
                     proj = observed_df = proj.observe(obs, *aggs)
-                decoded = finish_decode(proj, stream, self.state.bookmark(fqn))
+                decoded = self._apply_stream_map(
+                    finish_decode(proj, stream, self.state.bookmark(fqn)), stream
+                )
                 table = self.tables[fqn]
                 results[fqn] = table.merge_into(
                     decoded, epoch_id=f"{epoch_id}:{fqn}",
@@ -239,12 +267,15 @@ class CdcPipeline:
                 if not new_cols:
                     continue
                 stream = self._evolve(stream, new_cols)
-                corrected = decode_stream(
-                    classified,
+                corrected = self._apply_stream_map(
+                    decode_stream(
+                        classified,
+                        stream,
+                        self.pg_types.get(fqn, {}),
+                        bookmark_lsn=self.state.bookmark(fqn),
+                        batch_time=batch_time,
+                    ),
                     stream,
-                    self.pg_types.get(fqn, {}),
-                    bookmark_lsn=self.state.bookmark(fqn),
-                    batch_time=batch_time,
                 )
                 results[fqn]["evolution"] = self.tables[fqn].merge_into(
                     corrected, epoch_id=f"{epoch_id}:{fqn}:evolve",

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -116,3 +118,79 @@ def test_flatten_is_single_projection(spark):
     )
     plan = sm.flatten(df, 2)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Project") <= 1
+
+
+def test_stream_map_inside_cdc_pipeline(spark, tmp_path):
+    """Maps apply to decoded CDC rows before the merge — the SDK's
+    record-level mapping, as one extra projection on the decode plan."""
+    import json as _json
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+
+    base = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    mapped_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("v_upper", T.StringType()),
+        ]
+    )
+    stream = StreamDef("public", "t_a", base, ("id",))
+    table = LakeTable.create(
+        spark, str(tmp_path / "t_a"), widen_for_cdc(mapped_schema), ["id"], num_buckets=2
+    )
+    pipe = CdcPipeline(
+        spark,
+        [stream],
+        {"public.t_a": {c: "text" for c in ("id", "email", "v")}},
+        {"public.t_a": table},
+        StateStore(str(tmp_path / "state.json")),
+        stream_maps={
+            "public.t_a": {"email": None, "v_upper": "upper(v)"}  # PII drop + computed
+        },
+    )
+
+    def _payload(**cols):
+        return _json.dumps(
+            {"action": "I", "schema": "public", "table": "t_a",
+             "columns": [{"name": k, "type": "text", "value": v} for k, v in cols.items()]}
+        )
+
+    raw = spark.createDataFrame(
+        [(10, 1, _payload(id="a", email="x@y.z", v="hi"))],
+        "lsn long, txid long, payload string",
+    )
+    pipe.apply_batch(raw, epoch_id="e0")
+    rows = table.read().collect()
+    assert "email" not in table.read().columns
+    assert [(r["id"], r["v"], r["v_upper"]) for r in rows] == [("a", "hi", "HI")]
+
+
+def test_stream_map_cannot_drop_key_or_sdc_columns(spark, tmp_path):
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+
+    base = T.StructType([T.StructField("id", T.StringType())])
+    stream = StreamDef("public", "t_a", base, ("id",))
+    table = LakeTable.create(
+        spark, str(tmp_path / "t_a"), widen_for_cdc(base), ["id"], num_buckets=2
+    )
+    pipe = CdcPipeline(
+        spark, [stream], {"public.t_a": {"id": "text"}}, {"public.t_a": table},
+        StateStore(str(tmp_path / "s.json")),
+        stream_maps={"public.t_a": {"id": None}},
+    )
+    raw = spark.createDataFrame([(1, 1, "{}")], "lsn long, txid long, payload string")
+    with pytest.raises(ValueError, match="protected"):
+        pipe.apply_batch(raw, epoch_id="e0")
