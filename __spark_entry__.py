@@ -146,6 +146,55 @@ def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read over the REAL LakeTable: events applied
+    in two merge epochs split at the median event_id; read_changes after
+    the first returns the second epoch's per-key folded upserts +
+    tombstones without scanning the base (lake/table.py read_changes —
+    Iceberg incremental-scan parity)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    _pin_session(spark)
+    ev = _events(spark, sf_dir)
+    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+    )
+
+    def as_batch(df: DataFrame) -> DataFrame:
+        is_del = F.col("event_type") == "error"
+        return df.select(
+            F.col("user_id"),
+            F.when(is_del, F.lit(None)).otherwise(F.col("value")).alias("value"),
+            F.col("event_id").alias("_sdc_lsn"),
+            F.when(is_del, F.lit("2024-01-01T00:00:00Z"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("_sdc_deleted_at"),
+        )
+
+    d = tempfile.mkdtemp(prefix="tps-changelog-")
+    tbl = LakeTable.create(spark, f"{d}/t", schema, ["user_id"], num_buckets=8)
+    tbl.merge_into(as_batch(ev.filter(F.col("event_id") <= h)), epoch_id="c1")
+    v1 = tbl.current_version()
+    tbl.merge_into(as_batch(ev.filter(F.col("event_id") > h)), epoch_id="c2")
+    return tbl.read_changes(v1).select(
+        "user_id",
+        "value",
+        "_sdc_lsn",
+        F.col("_sdc_deleted_at").isNotNull().alias("deleted"),
+    )
+
+
 def q_bookmark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3: forward-only max bookmark per stream (per event_type)."""
     return (
@@ -546,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_decode": q_event_decode,
         "lww_latest": q_lww_latest,
         "merge_apply": q_merge_apply,
+        "lake_changelog": q_lake_changelog,
         "bookmark_max": q_bookmark_max,
         "routing_counts": q_routing_counts,
         "bookmark_filter": q_bookmark_filter,
@@ -855,6 +905,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                     PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                   FROM events) WHERE rn = 1
+        """,
+        "lake_changelog": """
+            WITH half AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS h FROM events),
+            second AS (SELECT user_id, value, event_id, event_type
+                       FROM events, half WHERE event_id > h),
+            latest AS (SELECT *, row_number() OVER (
+                         PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                       FROM second)
+            SELECT user_id,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+                   event_id AS _sdc_lsn,
+                   (event_type = 'error') AS deleted
+            FROM latest WHERE rn = 1
         """,
         "merge_apply": """
             SELECT user_id, event_id AS last_event_id, value

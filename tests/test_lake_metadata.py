@@ -120,3 +120,52 @@ def test_bucket_watermarks_in_commit_summary(spark, tmp_path):
     assert wms == got
     # the same doc lands in the version metadata summary
     assert t.metadata()["summary"]["bucket_watermarks"] == wms
+
+
+def test_read_changes_incremental_changelog(spark, tmp_path):
+    """Iceberg-incremental-read parity: rows committed in a version range,
+    upserts and tombstones, LWW-folded, without scanning the base table."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=2)
+    t.merge_into(
+        spark.createDataFrame(
+            [("r", "base", "v0", 10, None, 1, "U")], _BATCH_SCHEMA
+        ),
+        epoch_id="e0",
+    )
+    v1 = t.current_version()
+    t.merge_into(
+        spark.createDataFrame(
+            [("r", "p1", "a", 20, None, 1, "U"),
+             ("r", "p1", "b", 30, None, 1, "U")], _BATCH_SCHEMA
+        ),
+        epoch_id="e1",
+    )
+    t.merge_into(
+        spark.createDataFrame(
+            [("r", "base", None, 40, "2024-01-01T00:00:00Z", 1, "D")], _BATCH_SCHEMA
+        ),
+        epoch_id="e2",
+    )
+    ch = {
+        (r["path"]): (r["content"], r["_sdc_lsn"], r["_sdc_deleted_at"] is not None)
+        for r in t.read_changes(v1).collect()
+    }
+    # p1 folded to its latest (lsn 30); base appears as a tombstone;
+    # the pre-range base row does NOT appear
+    assert ch == {"p1": ("b", 30, False), "base": (None, 40, True)}
+
+    # compaction breaks the changelog contract for ranges crossing it
+    t.compact(max_delta_depth=0)
+    with pytest.raises(ValueError, match="MOR"):
+        t.read_changes(v1)
+    # but ranges after the compact work again
+    vc = t.current_version()
+    t.merge_into(
+        spark.createDataFrame(
+            [("r", "p2", "z", 50, None, 1, "U")], _BATCH_SCHEMA
+        ),
+        epoch_id="e3",
+    )
+    assert {r["path"] for r in t.read_changes(vc).collect()} == {"p2"}
