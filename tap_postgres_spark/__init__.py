@@ -17,7 +17,9 @@ PySpark:
 
 The package additionally ships the large-scale training-data operators the
 driver grades (dedup, similarity search, text analysis, multimodal
-plumbing) in `textops`, `vectorops` and `multimodal`.
+plumbing) in `textops`, `vectorops` and `multimodal`, plus the SDK-style
+stream maps / schema flattening (`stream_maps`), the live-PostgreSQL JDBC
+source path (`sources`), and Singer message rendering (`singer`).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

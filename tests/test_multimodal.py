@@ -84,3 +84,21 @@ def test_decode_media_real_and_contained_failures(spark):
     )
     r = multimodal.decode_media(bad).collect()[0]
     assert not r["decoded"] and r["err"]
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def roundtrip(samples, rate):
+        got = multimodal.decode_wav(multimodal.encode_wav(samples, sample_rate=rate))
+        assert got["n_samples"] == len(samples)
+        assert got["sample_rate"] == rate
+        assert got["mean_sample"] == sum(samples) / len(samples)
+
+    roundtrip()
