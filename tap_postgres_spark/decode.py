@@ -222,6 +222,10 @@ def decode_projection(
             else:
                 # hstore literal '"k"=>"v"' (client.py:118-124)
                 col = parse_hstore(raw_val)
+        elif isinstance(field.dataType, T.StructType):
+            # declared-shape JSON column (json_as_object with a concrete
+            # schema — the flatten()-ready form): parse, don't cast
+            col = F.from_json(raw_val, field.dataType)
         elif isinstance(field.dataType, T.BinaryType):
             # bytea hex literal '\x<hex>'
             col = parse_bytea_hex(raw_val)

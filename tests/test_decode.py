@@ -173,3 +173,50 @@ def test_b_c_rows_without_table_not_unroutable(spark):
                                 ["lsn", "txid", "payload"])
     rows = _classified(raw).collect()
     assert rows[0]["_status"] == STATUS_TXN_MARKER
+
+
+def test_declared_struct_json_column_parses_and_flattens(spark):
+    """A jsonb column declared with a concrete StructType schema must be
+    PARSED (from_json), not cast — and is then flatten()-ready."""
+    import json as _json
+
+    from tap_postgres_spark import stream_maps
+    from tap_postgres_spark.decode import classify, decode_stream, parse_raw_payloads
+    from tap_postgres_spark.schema import StreamDef
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("stars", T.LongType()),
+                        T.StructField("lang", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    payload = _json.dumps(
+        {
+            "action": "I", "schema": "public", "table": "t",
+            "columns": [
+                {"name": "id", "type": "text", "value": "a"},
+                {"name": "meta", "type": "jsonb",
+                 "value": _json.dumps({"stars": 7, "lang": "py"})},
+            ],
+        }
+    )
+    raw = spark.createDataFrame([(1, 1, payload)], "lsn long, txid long, payload string")
+    stream = StreamDef("public", "t", schema, ("id",))
+    out = decode_stream(
+        classify(parse_raw_payloads(raw), ["public.t"]), stream,
+        {"id": "text", "meta": "jsonb"},
+    )
+    row = out.collect()[0]
+    assert row["meta"]["stars"] == 7 and row["meta"]["lang"] == "py"
+    flat = stream_maps.flatten(out.select("id", "meta"), max_depth=1)
+    assert flat.columns == ["id", "meta__stars", "meta__lang"]
+    assert flat.collect()[0]["meta__stars"] == 7
