@@ -109,7 +109,12 @@ def main():
         else:
             failures.append(name)
 
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    n_run = len([n for n in qs if not only or n in only])
+    print(
+        f"\n{len(failures)} failures of {n_run}: {failures}"
+        if failures
+        else f"\nALL MATCH ({n_run} queries)"
+    )
     return 1 if failures else 0
 
 
