@@ -169,3 +169,34 @@ def test_train_centroids_drops_empty_clusters(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cents = vectorops.train_centroids(df, k=3, n_iter=2)
     assert len(cents) <= 2  # seeds 0,1,2 are identical vectors → one survives
+
+
+def test_pandas_variants_match_expression_forms(spark, emb):
+    """The numpy-matmul UDF variants (the high-dim/high-k scale path) must
+    agree exactly with the Column-expression forms."""
+    planes = vectorops.make_planes(64, 8, seed=7)
+    expr = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", vectorops.hyperplane_bits(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    pud = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", vectorops.hyperplane_bits_pandas("embedding", planes).alias("b")
+        ).collect()
+    }
+    assert expr == pud
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(6).collect()}
+    cents = [(cid, v) for cid, v in rows.items()]
+    a_expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in vectorops.ivf_assign(emb, cents).collect()
+    }
+    a_pud = {
+        r["vec_id"]: r["centroid_id"]
+        for r in vectorops.ivf_assign_pandas(emb, cents).collect()
+    }
+    assert a_expr == a_pud
