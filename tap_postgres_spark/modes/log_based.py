@@ -91,6 +91,10 @@ class CdcPipeline:
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
+        if not streams:
+            # empty-registration rejection (reference wal_reader.py:95-114
+            # + tests/test_wal_reader.py:235-247)
+            raise ValueError("at least one stream must be registered")
         if len(self.streams) != len(streams):
             # duplicate-FQN rejection (reference wal_reader.py:95-114)
             raise ValueError("duplicate stream FQNs registered")

@@ -96,3 +96,9 @@ def test_per_stream_bookmark_floor(spark, pipeline):
     tb = {r["id"] for r in pipeline.tables["public.t_b"].read().collect()}
     assert ta == {"new"}
     assert tb == {"b-early"}
+
+
+def test_empty_stream_list_rejected(spark, tmp_path):
+    # reference wal_reader.py:95-114 + test_wal_reader.py:235-247
+    with pytest.raises(ValueError, match="at least one stream"):
+        CdcPipeline(spark, [], {}, {}, StateStore(str(tmp_path / "s.json")))
