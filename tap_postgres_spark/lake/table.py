@@ -606,6 +606,7 @@ class LakeTable:
         max_delta_depth: int = 1,
         *,
         drop_tombstones_below: int | None = None,
+        include_base: bool = True,
     ) -> dict[str, Any]:
         """Fold every bucket with more than ``max_delta_depth`` stacked
         dirs into a single file.  The maintenance op that bounds
@@ -619,19 +620,36 @@ class LakeTable:
         committed bookmark floor) to reclaim tombstones that can never be
         contradicted again — events below the floor are filtered out
         before any merge, so only those tombstones are provably safe to
-        drop."""
+        drop.
+
+        ``include_base=False`` is TIERED (LSM-style) compaction: only the
+        delta tier (everything after each bucket's oldest dir) is folded,
+        leaving the base untouched.  Cost is O(changes since base)
+        instead of O(table) — the difference between a maintenance op and
+        a full rewrite once the table is 100× any batch.  Steady-state
+        policy at scale: tiered on the depth trigger, a full compact
+        rarely/offline.  Tombstone dropping is refused in tiered mode: a
+        tombstone in the delta tier may be the only thing masking a live
+        base row, so dropping it would resurrect the row."""
+        if not include_base and drop_tombstones_below is not None:
+            raise ValueError(
+                "tiered compaction cannot drop tombstones: a delta-tier "
+                "tombstone may mask a base row (fold the base in to reclaim)"
+            )
         meta = self.metadata()
         schema = T.StructType.fromJson(meta["schema"])
         key_cols = meta["key_columns"]
         current = self.buckets_map(meta["version"])
-        todo = {b: dl for b, dl in current.items() if len(dl) > max_delta_depth}
+        min_len = max_delta_depth if include_base else max_delta_depth + 1
+        todo = {b: dl for b, dl in current.items() if len(dl) > min_len}
         if not todo:
             return {"skipped": True, "reason": "nothing to compact"}
         new_version = meta["version"] + 1
         rel_dir = self._next_data_dir(new_version)
-        df = self._read_dirs(
-            [d for dl in todo.values() for d in dl], schema, with_gen=True
-        )
+        fold_dirs = [
+            d for dl in todo.values() for d in (dl if include_base else dl[1:])
+        ]
+        df = self._read_dirs(fold_dirs, schema, with_gen=True)
         folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN, SDC_GEN))
         if SDC_DELETED_AT in folded.columns and drop_tombstones_below is not None:
             folded = folded.filter(
@@ -643,13 +661,16 @@ class LakeTable:
         )
         written = self._write_bucketed(folded, rel_dir, meta["num_buckets"])
         buckets = {b: list(dl) for b, dl in current.items() if b not in todo}
-        for b in todo:
-            # a bucket can compact to empty (all rows tombstoned + settled)
-            if b in written:
-                buckets[b] = written[b]
+        for b, dl in todo.items():
+            if include_base:
+                # a bucket can compact to empty (all rows tombstoned + settled)
+                if b in written:
+                    buckets[b] = written[b]
+            else:
+                buckets[b] = [dl[0]] + (written.get(b) or [])
         buckets_delta = {
-            "set": {b: written[b] for b in todo if b in written},
-            "drop": sorted(b for b in todo if b not in written),
+            "set": {b: buckets[b] for b in todo if b in buckets},
+            "drop": sorted(b for b in todo if b not in buckets),
         }
         base = {k: v for k, v in meta.items() if k not in ("buckets", "buckets_delta")}
         self._write_metadata(
@@ -659,6 +680,7 @@ class LakeTable:
                 **self._buckets_doc(new_version, buckets, buckets_delta),
                 "summary": {
                     "operation": "compact",
+                    "tiered": not include_base,
                     "buckets_compacted": sorted(todo.keys(), key=int),
                 },
                 "parent": meta["version"],

@@ -169,3 +169,59 @@ def test_read_changes_incremental_changelog(spark, tmp_path):
         epoch_id="e3",
     )
     assert {r["path"] for r in t.read_changes(vc).collect()} == {"p2"}
+
+
+def test_tiered_compaction_folds_deltas_keeps_base(spark, tmp_path):
+    """LSM-style tiered compact: O(changes since base), base untouched,
+    state preserved, tombstone safety enforced."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], num_buckets=2)
+    t.merge_into(
+        spark.createDataFrame(
+            [("r", f"p{i}", "base", 10 + i, None, 1, "U") for i in range(6)],
+            _BATCH_SCHEMA,
+        ),
+        epoch_id="e0",
+    )
+    base_dirs = {b: dl[0] for b, dl in t.buckets_map().items()}
+    # delta tier: update p0, delete p1, across 3 commits
+    t.merge_into(
+        spark.createDataFrame([("r", "p0", "v2", 100, None, 1, "U")], _BATCH_SCHEMA),
+        epoch_id="e1",
+    )
+    t.merge_into(
+        spark.createDataFrame(
+            [("r", "p1", None, 110, "2024-01-01T00:00:00Z", 1, "D")], _BATCH_SCHEMA
+        ),
+        epoch_id="e2",
+    )
+    t.merge_into(
+        spark.createDataFrame([("r", "p0", "v3", 120, None, 1, "U")], _BATCH_SCHEMA),
+        epoch_id="e3",
+    )
+    before = _read_state(t)
+    res = t.compact(max_delta_depth=1, include_base=False)
+    assert not res["skipped"]
+    after_map = t.buckets_map()
+    # base untouched; delta tier folded to one dir per bucket
+    for b, dl in after_map.items():
+        assert dl[0] == base_dirs[b]
+        assert len(dl) <= 2
+    assert _read_state(t) == before
+    # delta-tier tombstone retained → delete still masks the base row
+    assert ("r", "p1") not in _read_state(t)
+    # and an out-of-order lower-LSN replay still loses
+    t.merge_into(
+        spark.createDataFrame([("r", "p1", "stale", 50, None, 1, "U")], _BATCH_SCHEMA),
+        epoch_id="e4",
+    )
+    assert ("r", "p1") not in _read_state(t)
+
+    with pytest.raises(ValueError, match="tiered"):
+        t.compact(include_base=False, drop_tombstones_below=200)
+
+
+def _read_state(t):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["_sdc_lsn"])
+        for r in t.read().collect()
+    }
