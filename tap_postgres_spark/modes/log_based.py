@@ -88,6 +88,7 @@ class CdcPipeline:
         auto_compact_depth: int = 12,
         merge_mode: str = "mor",
         stream_maps: dict[str, dict] | None = None,
+        full_compact_every: int = 8,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -105,6 +106,8 @@ class CdcPipeline:
         self.detect_evolution = detect_evolution
         self.auto_compact_depth = auto_compact_depth
         self.merge_mode = merge_mode
+        self.full_compact_every = max(1, int(full_compact_every))
+        self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
         # README.md:13,51-53); here it is one extra projection on the
@@ -293,15 +296,25 @@ class CdcPipeline:
                     self.auto_compact_depth
                     and table.delta_depth() > self.auto_compact_depth
                 ):
-                    # tombstones below the committed filter floor can never
-                    # be contradicted by a replayed event (finish_decode
-                    # drops events <= floor), so only those are reclaimed
-                    floor = self.state.bookmark(fqn)
-                    results[fqn]["compaction"] = table.compact(
-                        drop_tombstones_below=(
-                            int(floor) if floor is not None else None
+                    # Scale policy: the depth trigger normally runs TIERED
+                    # compaction (fold the delta tier only — O(changes
+                    # since base), never O(table)); every
+                    # ``full_compact_every``-th firing runs a FULL pass
+                    # that folds the base in and reclaims tombstones below
+                    # the committed filter floor (finish_decode drops
+                    # events <= floor, so those can never be contradicted).
+                    self._compact_count[fqn] = self._compact_count.get(fqn, 0) + 1
+                    if self._compact_count[fqn] % self.full_compact_every == 0:
+                        floor = self.state.bookmark(fqn)
+                        results[fqn]["compaction"] = table.compact(
+                            drop_tombstones_below=(
+                                int(floor) if floor is not None else None
+                            )
                         )
-                    )
+                    else:
+                        results[fqn]["compaction"] = table.compact(
+                            include_base=False
+                        )
 
             # Track max LSN seen as a WATERMARK only (reference
             # max_lsn_seen, wal_reader.py:208,239).  The filter bookmark

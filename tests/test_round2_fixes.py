@@ -198,3 +198,38 @@ def test_enum_repair_leaves_legit_empty_string_type_value(spark):
     out = [r["r"] for r in df.select(repair_enum_quotes(F.col("p")).alias("r")).collect()]
     assert out[0] == payload  # untouched
     assert out[1] == '{"type":"MyEnum"}'  # repaired
+
+
+def test_auto_compact_policy_tiered_then_periodic_full(spark, tmp_path):
+    """Pipeline compaction policy: depth trigger fires TIERED passes
+    (O(delta) not O(table)); every Nth firing is a FULL pass with the
+    bookmark floor.  State must stay oracle-correct throughout."""
+    base = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    stream = StreamDef("public", "t_a", base, ("id",))
+    table = LakeTable.create(
+        spark, str(tmp_path / "t_a"), widen_for_cdc(base), ["id"], num_buckets=2
+    )
+    pipe = CdcPipeline(
+        spark, [stream], {"public.t_a": {"id": "text", "v": "text"}},
+        {"public.t_a": table}, StateStore(str(tmp_path / "s.json")),
+        auto_compact_depth=2, full_compact_every=3,
+    )
+    lsn = 0
+    for i in range(9):
+        lsn += 1
+        raw = spark.createDataFrame(
+            [(lsn, 1, _payload("I", "t_a", id=f"k{i % 3}", v=f"v{i}"))],
+            "lsn long, txid long, payload string",
+        )
+        pipe.apply_batch(raw, epoch_id=f"e{i}")
+    ops = [
+        (h["summary"]["operation"], h["summary"].get("tiered"))
+        for h in table.history()
+        if h["summary"]["operation"] == "compact"
+    ]
+    assert ("compact", True) in ops  # tiered passes happened
+    assert ("compact", False) in ops or len(ops) < 3  # full pass on the 3rd firing
+    state = {r["id"]: r["v"] for r in table.read().collect()}
+    assert state == {"k0": "v6", "k1": "v7", "k2": "v8"}
