@@ -146,6 +146,22 @@ def q_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order delivery monitor (batch-window twin of the
+    applyInPandasWithState streaming operator): per user, events whose
+    event_id is below the running max over previously-ARRIVED events.
+    Arrival order is a deterministic md5 pseudo-shuffle of event_id so
+    the operator sees genuine regressions on the monotone test feed."""
+    from tap_postgres_spark.functions import md5_60bit
+    from tap_postgres_spark.streaming.stateful import monotonicity_violations
+
+    _pin_session(spark)
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", md5_60bit(F.col("event_id")).alias("arr")
+    )
+    return monotonicity_violations(ev, "user_id", "event_id", "arr")
+
+
 def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changelog read over the REAL LakeTable: events applied
     in two merge epochs split at the median event_id; read_changes after
@@ -596,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest": q_lww_latest,
         "merge_apply": q_merge_apply,
         "lake_changelog": q_lake_changelog,
+        "order_monitor": q_order_monitor,
         "bookmark_max": q_bookmark_max,
         "routing_counts": q_routing_counts,
         "bookmark_filter": q_bookmark_filter,
@@ -905,6 +922,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                     PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                   FROM events) WHERE rn = 1
+        """,
+        "order_monitor": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     ('0x' || substr(md5(event_id::varchar), 1, 15))::bigint AS arr
+              FROM events
+            ),
+            v AS (
+              SELECT user_id, event_id,
+                     max(event_id) OVER (PARTITION BY user_id ORDER BY arr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM e
+            )
+            SELECT user_id::varchar AS key, event_id AS ordinal,
+                   prev_max AS max_seen, prev_max - event_id AS lag
+            FROM v WHERE event_id < prev_max
         """,
         "lake_changelog": """
             WITH half AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS h FROM events),
