@@ -386,6 +386,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer count (letters runs / single digits /
+    punctuation) — the budget metric, alongside whitespace token_count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.token_count_bpe(F.col("text")).cast("long").alias("n_bpe")
+    )
+
+
+def q_chargram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: bottom-8 sketch of char-5-gram hashes,
+    rendered as a canonical comma-joined string."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            ",", textops.chargram_sketch(F.col("text"), k=5, sketch_size=8)
+        ).alias("sketch"),
+    )
+
+
 _MH_HASHES = 8
 _MH_BANDS = 4
 _SH_K = 3
@@ -625,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "chargram_sketch": q_chargram_sketch,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
@@ -1039,6 +1060,27 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprint": f"""
             SELECT doc_id, {_H60.format(expr=fp_norm)} AS fp FROM documents
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{textops.BPE_SPLIT_PATTERN}'))::BIGINT AS n_bpe
+            FROM documents
+        """,
+        "chargram_sketch": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     {_H60.format(expr="substr(text, r.i, 5)")} AS h
+              FROM documents, UNNEST(range(1, greatest(len(text) - 4, 1) + 1)) AS r(i)
+            ),
+            d AS (SELECT DISTINCT doc_id, h FROM g),
+            ranked AS (
+              SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+              FROM d
+            )
+            SELECT doc_id, array_to_string(list(h ORDER BY h), ',') AS sketch
+            FROM ranked WHERE rn <= 8 GROUP BY doc_id
         """,
         "minhash_signature": _minhash_sig_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),

@@ -74,6 +74,43 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish subword pre-tokenization: letter runs, single digits, punctuation
+# runs — the GPT-2-style split minus lookaheads (kept to constructs both
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically, so the token
+# COUNT has an exact SQL oracle).  Real BPE merges happen downstream on
+# these pieces; the count is the budget metric pipelines filter on.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Pre-tokenizer piece count — the usual 'roughly tokens' budget
+    estimate (letters runs ≈ words, digits split singly, punctuation
+    separate), cheaper and more stable than whitespace count on code/
+    markup-heavy corpora."""
+    return F.size(bpe_tokens(text))
+
+
+def chargram_sketch(
+    text: Column, *, k: int = 5, sketch_size: int = 8
+) -> Column:
+    """Rolling-hash document fingerprint: the ``sketch_size`` smallest
+    60-bit hashes over the document's character ``k``-grams (a bottom-k
+    sketch — winnowing's global-window cousin).  Two docs sharing most of
+    their text share most of their bottom-k set regardless of alignment,
+    which is what makes rolling fingerprints robust to insertions where
+    the whole-document hash is not.  Pure column expressions: one
+    sequence/transform per row, sort, slice."""
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: text.substr(i, F.lit(k)))
+    hashes = F.transform(grams, lambda g: md5_60bit(g))
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
+
+
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 
 

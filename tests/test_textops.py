@@ -180,3 +180,34 @@ def test_minhash_dedup_keep_handles_oversized_buckets(spark):
     # cluster of 120 → exactly one survivor (id 0); near-dup pair keeps 1000;
     # the unique doc survives
     assert kept == {0, 1000, 2000}
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world-42, it's ok")], ["doc_id", "text"]
+    )
+    toks = df.select(textops.bpe_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    # letters runs, single digits, punctuation chars
+    assert toks == ["hello", "world", "-", "4", "2", ",", "it", "'", "s", "ok"]
+    n = df.select(textops.token_count_bpe(F.col("text")).alias("n")).collect()[0]["n"]
+    assert n == 10
+
+
+def test_chargram_sketch_alignment_robust(spark):
+    """The bottom-k rolling fingerprint must overlap heavily for a doc
+    with a small insertion (where whole-doc hashing sees nothing shared),
+    and be disjoint for unrelated text."""
+    base = "the quick brown fox jumps over the lazy dog while birds sing in the trees"
+    shifted = "PREFIX " + base  # insertion shifts all alignments
+    other = "completely different material with no overlap at all in any region here"
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)], ["doc_id", "text"]
+    )
+    sk = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", textops.chargram_sketch(F.col("text"), k=5, sketch_size=8).alias("s")
+        ).collect()
+    }
+    assert len(sk[1] & sk[2]) >= 6  # near-dup despite the shift
+    assert len(sk[1] & sk[3]) == 0
