@@ -103,7 +103,13 @@ def chargram_sketch(
     their text share most of their bottom-k set regardless of alignment,
     which is what makes rolling fingerprints robust to insertions where
     the whole-document hash is not.  Pure column expressions: one
-    sequence/transform per row, sort, slice."""
+    sequence/transform per row, sort, slice.
+
+    Scale note: this materializes one k-char slice per position (O(len·k)
+    bytes per row transiently) — fine for documents up to ~1 MB; for very
+    large blobs move the gram hashing into a mapInPandas stage with a
+    true O(1)-per-step Rabin-Karp rolling hash, keeping this bottom-k
+    sketch contract."""
     n = F.length(text)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: text.substr(i, F.lit(k)))
