@@ -74,27 +74,39 @@ def monotonicity_violations(
     )
 
 
+_SENTINEL = -(1 << 62)  # below any real ordinal: "no max seen yet"
+
+
 def _monitor_fn(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    (max_seen,) = state.get if state.exists else (None,)
-    out: dict[str, list] = {"key": [], "ordinal": [], "max_seen": [], "lag": []}
+    import numpy as np
+
+    (max_seen,) = state.get if state.exists else (_SENTINEL,)
     for pdf in pdfs:
         # within-batch arrival order = the frame's row order (the source's
-        # file/offset order), matching the batch form's order_col scan
-        for ordinal in pdf["ordinal"]:
-            o = int(ordinal)
-            if max_seen is not None and o < max_seen:
-                out["key"].append(str(key[0]))
-                out["ordinal"].append(o)
-                out["max_seen"].append(max_seen)
-                out["lag"].append(max_seen - o)
-            if max_seen is None or o > max_seen:
-                max_seen = o
+        # file/offset order), matching the batch form's order_col scan.
+        # Vectorized: running-max-before-each-row via cummax shifted one,
+        # seeded with the cross-batch state — no per-row Python.
+        o = pdf["ordinal"].to_numpy(dtype=np.int64)
+        if o.size == 0:
+            continue
+        cummax = np.maximum.accumulate(o)
+        prev = np.concatenate(([max_seen], np.maximum(cummax[:-1], max_seen)))
+        mask = o < prev
+        max_seen = int(max(max_seen, int(cummax[-1])))
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "key": str(key[0]),
+                    "ordinal": o[mask],
+                    "max_seen": prev[mask],
+                    "lag": prev[mask] - o[mask],
+                }
+            )
     state.update((max_seen,))
-    yield pd.DataFrame(out)
 
 
 def streaming_order_monitor(
