@@ -57,7 +57,8 @@ def jdbc_url(config: dict[str, Any]) -> str:
     """
     if url := config.get("sqlalchemy_url"):
         rest = url.split("://", 1)[1]
-        hostpart = rest.split("@", 1)[1] if "@" in rest else rest
+        # rsplit: passwords may contain '@'
+        hostpart = rest.rsplit("@", 1)[1] if "@" in rest else rest
         hostport, _, database = hostpart.partition("/")
         database = database.split("?", 1)[0]
         host, _, port = hostport.partition(":")

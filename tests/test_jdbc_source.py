@@ -76,3 +76,10 @@ def test_partition_options():
         "upperBound": "1000000",
         "numPartitions": "64",
     }
+
+
+def test_password_containing_at_sign():
+    cfg = {"sqlalchemy_url": "postgresql://u:p@ss@h:5444/d"}
+    assert jdbc_url(cfg) == "jdbc:postgresql://h:5444/d"
+    props = jdbc_properties(cfg)
+    assert props["user"] == "u" and props["password"] == "p@ss"
