@@ -51,7 +51,12 @@ def _substitute(expr: str, config: Mapping[str, Any] | None) -> str:
     for k, v in config.items():
         token = "{" + k + "}"
         if token in expr:
-            lit = f"'{v}'" if isinstance(v, str) else repr(v)
+            if isinstance(v, bool):  # before int: bool is an int subclass
+                lit = "TRUE" if v else "FALSE"
+            elif isinstance(v, str):
+                lit = "'" + v.replace("'", "''") + "'"
+            else:
+                lit = repr(v)
             expr = expr.replace(token, lit)
     return expr
 

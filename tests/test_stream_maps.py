@@ -194,3 +194,18 @@ def test_stream_map_cannot_drop_key_or_sdc_columns(spark, tmp_path):
     raw = spark.createDataFrame([(1, 1, "{}")], "lsn long, txid long, payload string")
     with pytest.raises(ValueError, match="protected"):
         pipe.apply_batch(raw, epoch_id="e0")
+
+
+def test_config_interpolation_types(spark):
+    df = _df(spark)
+    out = sm.apply_stream_map(
+        df,
+        {"__filter__": "(name = {who}) = {flag}"},
+        config={"who": "bob", "flag": True},
+    )
+    assert [r["id"] for r in out.collect()] == [2]
+    # single quotes in string config values are escaped, not injected
+    out2 = sm.apply_stream_map(
+        df, {"__filter__": "name <> {who}"}, config={"who": "o'brien"}
+    )
+    assert out2.count() == 2
