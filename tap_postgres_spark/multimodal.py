@@ -308,6 +308,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 row.update({"media_id": mid, "kind": kind, "mime": mime})
                 dec = DECODERS.get(mime)
                 try:
+                    if data is None:
+                        raise ValueError("no payload")
                     if dec is None:
                         raise ValueError(f"no decoder for {mime}")
                     row.update(dec(bytes(data)))

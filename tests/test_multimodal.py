@@ -102,3 +102,12 @@ def test_wav_roundtrip_property():
         assert got["mean_sample"] == sum(samples) / len(samples)
 
     roundtrip()
+
+
+def test_decode_media_null_payload_contained(spark):
+    df = spark.createDataFrame(
+        [(7, "audio", "audio/wav", None)],
+        "media_id long, kind string, mime string, data binary",
+    )
+    r = multimodal.decode_media(df).collect()[0]
+    assert not r["decoded"] and r["err"] == "no payload"
