@@ -67,6 +67,10 @@ def decode_wav(data: bytes) -> dict:
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a truncated chunk must be a decode FAILURE, not a silent
+            # partial decode with wrong n_samples/duration
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size} bytes")
         if cid == b"fmt ":
             audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]

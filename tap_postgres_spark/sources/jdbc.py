@@ -32,6 +32,7 @@ without a database.
 from __future__ import annotations
 
 from typing import Any
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -64,7 +65,8 @@ def jdbc_url(config: dict[str, Any]) -> str:
         host, _, port = hostport.partition(":")
         if not (host and database):
             raise ValueError("sqlalchemy_url must include host and database")
-        return f"jdbc:postgresql://{host}:{port or 5432}/{database}"
+        # URL components are percent-encoded in a sqlalchemy_url
+        return f"jdbc:postgresql://{unquote(host)}:{port or 5432}/{unquote(database)}"
     host = config["host"]
     port = int(config.get("port", 5432))
     database = config["database"]
@@ -77,7 +79,8 @@ def _credentials(config: dict[str, Any]) -> tuple[str | None, str | None]:
         if "@" in rest:
             creds = rest.rsplit("@", 1)[0]
             user, _, password = creds.partition(":")
-            return user or None, password or None
+            # percent-decode: 'p%40ss' is the canonical encoding of 'p@ss'
+            return (unquote(user) or None), (unquote(password) or None)
         return None, None
     return config.get("user"), config.get("password")
 
@@ -121,7 +124,20 @@ def incremental_dbtable(
     cols = ", ".join(selected_columns) if selected_columns else "*"
     preds = list(custom_where_clauses)
     if bookmark is not None:
-        b = f"'{bookmark}'" if isinstance(bookmark, str) else str(bookmark)
+        import datetime as _dt
+
+        if isinstance(bookmark, str):
+            # embedded quotes doubled — the SQL-literal escape the reference
+            # gets for free from SQLAlchemy bound parameters
+            b = "'" + bookmark.replace("'", "''") + "'"
+        elif isinstance(bookmark, (_dt.datetime, _dt.date)):
+            b = f"'{bookmark.isoformat()}'"
+        elif isinstance(bookmark, bool) or not isinstance(bookmark, (int, float)):
+            raise TypeError(
+                f"unsupported bookmark type for SQL predicate: {type(bookmark).__name__}"
+            )
+        else:
+            b = str(bookmark)
         preds.append(f"{replication_key} >= {b}")
     where = f" WHERE {' AND '.join(f'({p})' for p in preds)}" if preds else ""
     return f"(SELECT {cols} FROM {fqn}{where}) AS t"

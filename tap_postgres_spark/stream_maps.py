@@ -51,12 +51,19 @@ def _substitute(expr: str, config: Mapping[str, Any] | None) -> str:
     for k, v in config.items():
         token = "{" + k + "}"
         if token in expr:
-            if isinstance(v, bool):  # before int: bool is an int subclass
+            if v is None:
+                lit = "NULL"
+            elif isinstance(v, bool):  # before int: bool is an int subclass
                 lit = "TRUE" if v else "FALSE"
             elif isinstance(v, str):
                 lit = "'" + v.replace("'", "''") + "'"
-            else:
+            elif isinstance(v, (int, float)):
                 lit = repr(v)
+            else:
+                raise ValueError(
+                    f"stream_map_config[{k!r}]: cannot render {type(v).__name__} "
+                    "as a SQL literal (supported: str, bool, int, float, None)"
+                )
             expr = expr.replace(token, lit)
     return expr
 

@@ -90,9 +90,12 @@ def hyperplane_bits_pandas(vec_col: str, planes: list[list[float]]):
     codegen, no Python), but its expression tree grows as dim×planes —
     at 1536-d embeddings with 16+ planes codegen compilation dominates.
     Here the signature is ``sign(V @ P.T)`` packed to a long: one BLAS
-    call per ~10k-row Arrow batch.  Bit-for-bit identical output
-    (verified in tests) because both compute the same double-precision
-    dot products.
+    call per ~10k-row Arrow batch.  Matches the expression form on the
+    test vectors, but the two are not guaranteed interchangeable when a
+    dot product is within an ulp of zero: BLAS may reorder the summation
+    vs the codegen'd sequential fold, and a last-ulp difference at zero
+    flips a sign bit.  Pick ONE form per table build; don't mix them
+    within the same index.
     """
     p = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
     weights = (1 << np.arange(len(planes), dtype=np.int64))
