@@ -428,6 +428,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# demo cap for the oversized-bucket enumerator: band buckets max out at 4
+# docs at sf0.01, so a cap of 3 makes the enumerator return real rows
+_MH_DEMO_CAP = 3
+
+
+def q_minhash_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'No silent caps' enumerator for the MinHash-LSH guard: the (band,
+    key) buckets a cap of ``_MH_DEMO_CAP`` would drop from the pair join."""
+    return textops.minhash_lsh_oversized_buckets(
+        _docs(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        shingle_k=_SH_K, max_bucket_size=_MH_DEMO_CAP,
+    )
+
+
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup materializer: documents surviving MinHash-LSH dedup
     (pair losers dropped; oversized-bucket members deduped by the
@@ -473,17 +487,60 @@ _LSH_DIM = 64
 _ND_PLANES = 6
 _ND_SEEDS = (7, 13, 29, 41)
 _ND_THRESHOLD = 0.35
+# hot-bucket guard on the embedding-LSH pair join: 16 ≈ 2× the target
+# bucket size, binds on several buckets at sf0.01 (max observed 18), so
+# the guard is exercised by the driver query and replicated in the
+# DuckDB oracle
+_ND_MAX_BUCKET = 16
 _TOPK_PLANES = 4
 _TOPK_SEED = 7
+
+
+def _nd_planes(n: int) -> int:
+    """Scale-adaptive hash-table width: target ~8 vectors per bucket per
+    table (planes = ceil(log2(n/8)), floor ``_ND_PLANES``) — the knob a
+    100-TB corpus turns so expected bucket size stays constant as n
+    grows, instead of letting every bucket blow past the hot-bucket cap.
+    At the driver's correctness scale (sf0.01, n=500) this is exactly
+    ``_ND_PLANES`` = 6, the constant the static oracle SQL inlines."""
+    import math
+
+    return max(_ND_PLANES, math.ceil(math.log2(max(n / 8.0, 2.0))))
 
 
 def q_neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path near-dup: hyperplane-LSH bucket blocking (bounded
     block sizes by construction) instead of the data-column blocking of
-    ``neardup_embeddings``."""
+    ``neardup_embeddings``; hot buckets above the cap are excluded from
+    the pair join (enumerable via ``neardup_lsh_oversized``)."""
+    emb = _emb(spark, sf_dir)
     return vectorops.neardup_pairs_lsh(
-        _emb(spark, sf_dir), dim=_LSH_DIM, threshold=_ND_THRESHOLD,
-        n_planes=_ND_PLANES, seeds=_ND_SEEDS, round_to=4,
+        emb, dim=_LSH_DIM, threshold=_ND_THRESHOLD,
+        n_planes=_nd_planes(emb.count()), seeds=_ND_SEEDS, round_to=4,
+        max_bucket_size=_ND_MAX_BUCKET,
+    )
+
+
+def q_neardup_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'No silent caps' enumerator: the (table, bucket) cells the
+    hot-bucket guard dropped from the embedding-LSH pair join."""
+    emb = _emb(spark, sf_dir)
+    return vectorops.lsh_oversized_buckets(
+        emb, dim=_LSH_DIM,
+        n_planes=_nd_planes(emb.count()), seeds=_ND_SEEDS,
+        max_bucket_size=_ND_MAX_BUCKET,
+    )
+
+
+def q_emb_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup keep-list: pair losers drop, capped-bucket
+    members dedup by keep-lowest-id-per-bucket — the embedding analog of
+    ``minhash_dedup_docs``."""
+    emb = _emb(spark, sf_dir)
+    return vectorops.neardup_dedup_keep(
+        emb, dim=_LSH_DIM, threshold=_ND_THRESHOLD,
+        n_planes=_nd_planes(emb.count()), seeds=_ND_SEEDS, round_to=4,
+        max_bucket_size=_ND_MAX_BUCKET,
     )
 
 
@@ -648,12 +705,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_sketch": q_chargram_sketch,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_oversized": q_minhash_lsh_oversized,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
+        "neardup_lsh_oversized": q_neardup_lsh_oversized,
+        "emb_dedup_docs": q_emb_dedup_docs,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
@@ -786,22 +846,64 @@ def _hplane_bits_sql(n_planes: int, seed: int, vec_expr: str) -> str:
     return " + ".join(terms)
 
 
-def _neardup_lsh_sql() -> str:
-    table_selects = " UNION ALL ".join(
-        f"SELECT vec_id, embedding, {t} AS t,"
+def _lsh_blocked_sql() -> str:
+    """(vec_id, t, bkt) blocking CTE body — ids only, same plane constants
+    as vectorops.lsh_blocked."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t,"
         f" {_hplane_bits_sql(_ND_PLANES, seed, 'embedding::DOUBLE[]')} AS bkt"
         " FROM embeddings"
         for t, seed in enumerate(_ND_SEEDS)
     )
+
+
+def _neardup_lsh_sql() -> str:
+    # ok_buckets replicates the hot-bucket guard; the candidate set is
+    # id-only, then one re-join against embeddings fetches both vectors —
+    # the same shape the Spark plan runs
     return f"""
-WITH blocked AS ({table_selects})
-SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 4) AS cos_sim
-FROM blocked a JOIN blocked b
-  ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 4) >= {_ND_THRESHOLD}
+WITH blocked0 AS ({_lsh_blocked_sql()}),
+ok_buckets AS (
+  SELECT t, bkt FROM blocked0 GROUP BY t, bkt
+  HAVING count(*) <= {_ND_MAX_BUCKET}
+),
+blocked AS (SELECT b.* FROM blocked0 b JOIN ok_buckets USING (t, bkt)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM blocked a JOIN blocked b
+    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT c.a, c.b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 4) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]), 4) >= {_ND_THRESHOLD}
+"""
+
+
+def _lsh_oversized_sql() -> str:
+    return f"""
+WITH blocked0 AS ({_lsh_blocked_sql()})
+SELECT t, bkt, count(*) AS n FROM blocked0
+GROUP BY t, bkt HAVING count(*) > {_ND_MAX_BUCKET}
+"""
+
+
+def _emb_dedup_sql() -> str:
+    return f"""
+WITH pairs AS ({_neardup_lsh_sql()}),
+blocked2 AS ({_lsh_blocked_sql()}),
+over_drop AS (
+  SELECT vec_id FROM blocked2
+  QUALIFY count(*) OVER (PARTITION BY t, bkt) > {_ND_MAX_BUCKET}
+      AND vec_id <> min(vec_id) OVER (PARTITION BY t, bkt)
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT b FROM pairs)
+  AND vec_id NOT IN (SELECT vec_id FROM over_drop)
 """
 
 
@@ -1084,6 +1186,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": _minhash_sig_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
+        "minhash_lsh_oversized": f"""
+            WITH sig AS ({_minhash_sig_sql()}),
+            banded0 AS ({_banded_sql('sig')})
+            SELECT band, key, count(*) AS n FROM banded0
+            GROUP BY band, key HAVING count(*) > {_MH_DEMO_CAP}
+        """,
         "minhash_dedup_docs": f"""
             WITH pairs AS ({_minhash_pairs_sql()}),
             sig2 AS ({_minhash_sig_sql()}),
@@ -1118,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
                                                b.embedding::DOUBLE[]), 4) >= 0.30
         """,
         "neardup_embeddings_lsh": _neardup_lsh_sql(),
+        "neardup_lsh_oversized": _lsh_oversized_sql(),
+        "emb_dedup_docs": _emb_dedup_sql(),
         "lsh_bucket_topk": _lsh_topk_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ivf_topk": """
