@@ -1192,18 +1192,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, key, count(*) AS n FROM banded0
             GROUP BY band, key HAVING count(*) > {_MH_DEMO_CAP}
         """,
+        # pair-loser ∪ oversized-keep collapses to "not the min of some
+        # bucket" (textops.minhash_dedup_keep docstring) — one window min
         "minhash_dedup_docs": f"""
-            WITH pairs AS ({_minhash_pairs_sql()}),
-            sig2 AS ({_minhash_sig_sql()}),
-            banded2 AS ({_banded_sql('sig2')}),
-            over_drop AS (
-              SELECT doc_id FROM banded2
-              QUALIFY count(*) OVER (PARTITION BY band, key) > {_MH_MAX_BUCKET}
-                  AND doc_id <> min(doc_id) OVER (PARTITION BY band, key)
+            WITH sig AS ({_minhash_sig_sql()}),
+            banded AS ({_banded_sql('sig')}),
+            dropped AS (
+              SELECT doc_id FROM banded
+              QUALIFY doc_id <> min(doc_id) OVER (PARTITION BY band, key)
             )
             SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT b FROM pairs)
-              AND doc_id NOT IN (SELECT doc_id FROM over_drop)
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "simhash": _simhash_sql(),
         "simhash_neardup": _simhash_pairs_sql(),

@@ -182,6 +182,34 @@ def test_minhash_dedup_keep_handles_oversized_buckets(spark):
     assert kept == {0, 1000, 2000}
 
 
+def test_minhash_dedup_keep_window_form_equals_pair_rule(spark, docs):
+    """The round-3 rewrite computes the keep-list as one window-min over
+    the banded relation.  Pin the equivalence it relies on: that result
+    == {docs} minus {pair losers} minus {oversized non-minima}, for both
+    a binding and a loose cap (the result is cap-independent)."""
+    kw = dict(num_hashes=8, bands=4, shingle_k=3)
+    got = {r["doc_id"] for r in textops.minhash_dedup_keep(df=docs, **kw).collect()}
+
+    for cap in (2, 1000):
+        pairs = textops.minhash_lsh_pairs(docs, max_bucket_size=cap, **kw)
+        losers = {r["b"] for r in pairs.collect()}
+        banded = textops.minhash_banded(docs, **kw)
+        over = textops.minhash_lsh_oversized_buckets(
+            docs, max_bucket_size=cap, banded=banded, **kw
+        )
+        over_members = (
+            banded.join(over.select("band", "key"), ["band", "key"])
+            .groupBy("band", "key")
+            .agg(F.min("doc_id").alias("keep"), F.collect_set("doc_id").alias("ids"))
+            .collect()
+        )
+        over_losers = {
+            i for r in over_members for i in r["ids"] if i != r["keep"]
+        }
+        all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        assert got == all_ids - losers - over_losers
+
+
 def test_bpe_token_count(spark):
     df = spark.createDataFrame(
         [(1, "hello world-42, it's ok")], ["doc_id", "text"]
