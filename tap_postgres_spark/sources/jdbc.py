@@ -160,6 +160,125 @@ def partition_options(
     }
 
 
+# ---------------------------------------------------------------------------
+# Discovery (S1 against a live database): information_schema → StreamDefs,
+# the reference's discover_catalog_entries analog (tap.py:663-682 builds the
+# catalog from the connector; client.py:180-193 filters schemas).
+# ---------------------------------------------------------------------------
+
+# Columns the discovery query must produce, in order — also the contract
+# for streamdefs_from_columns, so a recorded/mocked DataFrame can stand in
+# for a live information_schema (no PG server in the sandbox).
+DISCOVERY_COLUMNS = (
+    "table_schema",
+    "table_name",
+    "column_name",
+    "data_type",
+    "ordinal_position",
+    "is_nullable",
+    "is_primary_key",
+)
+
+
+def discovery_dbtable(filter_schemas: tuple[str, ...] = ("public",)) -> str:
+    """Server-side discovery subquery for the ``dbtable`` option: every
+    column of every table in ``filter_schemas``, with its PG type and a
+    primary-key flag.  One round trip discovers the whole catalog —
+    unlike the reference's per-table SQLAlchemy reflection, which issues
+    O(tables) queries (fine on one connection, not on a 10k-table
+    warehouse)."""
+    schemas_in = ", ".join("'" + s.replace("'", "''") + "'" for s in filter_schemas)
+    return f"""(
+  SELECT c.table_schema, c.table_name, c.column_name, c.data_type,
+         c.ordinal_position, (c.is_nullable = 'YES') AS is_nullable,
+         (pk.column_name IS NOT NULL) AS is_primary_key
+  FROM information_schema.columns c
+  LEFT JOIN (
+    SELECT kcu.table_schema, kcu.table_name, kcu.column_name
+    FROM information_schema.table_constraints tc
+    JOIN information_schema.key_column_usage kcu
+      ON kcu.constraint_name = tc.constraint_name
+     AND kcu.constraint_schema = tc.constraint_schema
+    WHERE tc.constraint_type = 'PRIMARY KEY'
+  ) pk ON pk.table_schema = c.table_schema
+      AND pk.table_name = c.table_name
+      AND pk.column_name = c.column_name
+  WHERE c.table_schema IN ({schemas_in})
+) AS discovery"""
+
+
+def streamdefs_from_columns(
+    rows,
+    *,
+    replication: dict[str, dict[str, Any]] | None = None,
+    dates_as_string: bool = False,
+    json_as_object: bool = False,
+):
+    """Fold discovery rows (mappings with the ``DISCOVERY_COLUMNS`` keys)
+    into StreamDefs: one per (schema, table), fields in ordinal order,
+    types via :func:`tap_postgres_spark.schema.pg_type_to_spark`,
+    ``key_properties`` from the PK flags.  Pure — testable from a
+    recorded DataFrame without a database.  ``replication`` supplies the
+    per-table method/key catalog metadata information_schema cannot
+    carry, exactly like the parquet-dir discovery."""
+    from pyspark.sql import types as T
+
+    from ..schema import StreamDef, pg_type_to_spark
+
+    replication = replication or {}
+    tables: dict[tuple[str, str], list[dict[str, Any]]] = {}
+    for r in rows:
+        tables.setdefault((r["table_schema"], r["table_name"]), []).append(dict(r))
+    streams = []
+    for (schema_name, table_name), cols in sorted(tables.items()):
+        cols.sort(key=lambda c: int(c["ordinal_position"]))
+        fields = [
+            T.StructField(
+                c["column_name"],
+                pg_type_to_spark(
+                    c["data_type"],
+                    dates_as_string=dates_as_string,
+                    json_as_object=json_as_object,
+                ),
+                nullable=bool(c.get("is_nullable", True)),
+            )
+            for c in cols
+        ]
+        keys = tuple(c["column_name"] for c in cols if c.get("is_primary_key"))
+        rep = replication.get(table_name, {})
+        streams.append(
+            StreamDef(
+                schema_name=schema_name,
+                table_name=table_name,
+                spark_schema=T.StructType(fields),
+                key_properties=keys,
+                replication_method=rep.get("method", "FULL_TABLE"),
+                replication_key=rep.get("key"),
+            )
+        )
+    return streams
+
+
+def discover_jdbc(
+    spark: SparkSession,
+    config: dict[str, Any],
+    *,
+    filter_schemas: tuple[str, ...] = ("public",),
+    replication: dict[str, dict[str, Any]] | None = None,
+) -> list:
+    """S1 against a live PostgreSQL: run the discovery query through the
+    same JDBC options as the scan paths and emit StreamDefs.  The
+    ``filter_schemas`` config key is honored like reference
+    client.py:180-193."""
+    df = read_jdbc_table(spark, config, discovery_dbtable(filter_schemas))
+    return streamdefs_from_columns(
+        (r.asDict() for r in df.collect()),
+        replication=replication,
+        dates_as_string=bool(config.get("dates_as_string")),
+        json_as_object=bool(config.get("json_as_object")),
+    )
+
+
 def read_jdbc_table(
     spark: SparkSession,
     config: dict[str, Any],
