@@ -671,6 +671,48 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image decode: deterministic RGB pixels → real PNG bytes
+    (stdlib zlib, CRC'd chunks) → real parser (multimodal.decode_png via
+    the mapInPandas decode stage) → dimensions + channel means.  The
+    oracle computes the same stats straight from the pixel formula
+    ((id*31 + p*97) % 256), so any encoder, inflate, unfilter or parser
+    bug breaks the match."""
+    import pandas as pd
+
+    from tap_postgres_spark import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            def one(i: int) -> bytes:
+                w, h = 8 + (i % 8) * 4, 8 + (i % 5) * 4
+                return multimodal.encode_png(w, h, multimodal.synth_pixels(i, w, h))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "mime": "image/png",
+                    "data": pdf["doc_id"].map(lambda i: one(int(i))),
+                }
+            )
+
+    png = docs.mapInPandas(
+        _mk, schema="media_id long, kind string, mime string, data binary"
+    )
+    dec = multimodal.decode_media(png)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry / queries / oracle_sql
 # ---------------------------------------------------------------------------
@@ -722,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_png_decode": q_multimodal_png_decode,
     }
 
 
@@ -1283,5 +1326,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(s)::DOUBLE / count(*), 6) AS mean_sample,
                    round(sqrt(sum(s::DOUBLE * s::DOUBLE) / count(*)), 6) AS rms
             FROM g GROUP BY doc_id
+        """,
+        # replays the synth-pixel formula directly — the Spark side must
+        # round-trip the same bytes through real zlib'd PNG chunks to match
+        "multimodal_png_decode": """
+            WITH dims AS (
+              SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + (doc_id % 5) * 4 AS h
+              FROM documents
+            ),
+            px AS (
+              -- constant range bound (max w*h*3 = 36*24*3), filtered per
+              -- image: DuckDB's range() takes no lateral column params
+              SELECT doc_id, w, h, g.p AS p,
+                     ((doc_id * 31 + g.p * 97) % 256)::DOUBLE AS v
+              FROM dims, range(0, 2592) AS g(p)
+              WHERE g.p < w * h * 3
+            )
+            SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+                   round(avg(CASE WHEN p % 3 = 0 THEN v END), 6) AS mean_r,
+                   round(avg(CASE WHEN p % 3 = 1 THEN v END), 6) AS mean_g,
+                   round(avg(CASE WHEN p % 3 = 2 THEN v END), 6) AS mean_b
+            FROM px GROUP BY doc_id, w, h
         """,
     }

@@ -73,7 +73,11 @@ def test_decode_media_real_and_contained_failures(spark):
             assert r["decoded"] and r["n_samples"] == 128 and r["sample_rate"] == 8000
             assert r["rms"] > 0 and r["err"] is None
         elif r["kind"] == "image":
-            assert r["decoded"] and r["width"] > 0 and 0 <= r["mean_g"] <= 255
+            assert r["decoded"] and r["width"] > 0
+            if r["mime"] == "image/jpeg":  # dimensions-only decode
+                assert r["mean_g"] is None
+            else:
+                assert 0 <= r["mean_g"] <= 255
         else:  # video: honestly undecodable here, contained not fatal
             assert not r["decoded"] and "no decoder" in r["err"]
 
@@ -84,6 +88,87 @@ def test_decode_media_real_and_contained_failures(spark):
     )
     r = multimodal.decode_media(bad).collect()[0]
     assert not r["decoded"] and r["err"]
+
+
+def test_png_roundtrip_exact():
+    px = multimodal.synth_pixels(9, 6, 4)
+    png = multimodal.encode_png(6, 4, px)
+    got = multimodal.decode_png(png)
+    assert (got["width"], got["height"]) == (6, 4)
+    assert got["mean_r"] == sum(px[0::3]) / 24
+    assert got["mean_g"] == sum(px[1::3]) / 24
+    assert got["mean_b"] == sum(px[2::3]) / 24
+    # must agree with the PPM decode of the same pixels
+    assert got == multimodal.decode_ppm(multimodal.encode_ppm(6, 4, px))
+
+
+def test_png_all_filter_types_decode():
+    """Hand-filter scanlines with types 1-4; decode must reconstruct the
+    same pixels as the filter-0 encoding."""
+    import struct
+    import zlib
+
+    w, h = 5, 4
+    px = multimodal.synth_pixels(2, w, h)
+    want = multimodal.decode_png(multimodal.encode_png(w, h, px))
+    stride = w * 3
+
+    def filt(ftype, cur, prev):
+        out = bytearray([ftype])
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[i] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        cur = px[y * stride : (y + 1) * stride]
+        raw += filt(1 + y % 4, cur, prev)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png(png) == want
+
+
+def test_png_corruption_contained():
+    import pytest
+
+    png = bytearray(multimodal.encode_png(4, 4, multimodal.synth_pixels(1, 4, 4)))
+    png[20] ^= 0xFF  # flip a bit inside IHDR → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(png))
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"\x89PNX" + b"\x00" * 30)
+
+
+def test_jpeg_header_roundtrip_and_failures():
+    import pytest
+
+    jpg = multimodal.encode_jpeg_header(640, 480)
+    got = multimodal.decode_jpeg_header(jpg)
+    assert got == {"width": 640, "height": 480}
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg_header(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_jpeg_header(jpg[:-6])  # cut inside SOF segment
 
 
 def test_wav_roundtrip_property():
