@@ -486,16 +486,19 @@ def neardup_pairs_blocked(
     :func:`neardup_pairs_lsh` (structurally bounded buckets) when the
     blocking column's cardinality/skew is not under your control; this
     variant remains for genuinely partitioned corpora (per-shard /
-    per-tenant dedup) where the block bound is known."""
-    a = df.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
-    )
-    b = df.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
-    )
+    per-tenant dedup) where the block bound is known.
+
+    Same shuffle-slimming as :func:`neardup_pairs_lsh`: the block join
+    carries (id, blk) only; candidate pairs re-join the base table once
+    per side to fetch vectors for the exact-cosine filter."""
+    a = df.select(F.col(id_col).alias("a"), F.col(block_col).alias("blk"))
+    b = df.select(F.col(id_col).alias("b"), F.col(block_col).alias("blk"))
+    cand = a.join(b, ["blk"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, ["blk"])
-        .filter(F.col("a") < F.col("b"))
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
