@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tap_postgres_spark import stream_maps, textops, vectorops
+from tap_postgres_spark import pipelineops, stream_maps, textops, vectorops
 from tap_postgres_spark.modes import full_table_scan, incremental_scan
 from tap_postgres_spark.operators import fold_last_writer_wins
 from tap_postgres_spark.schema import StreamDef
@@ -714,6 +714,131 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pipeline operators (round 3): sessionization, window rollups, repetition /
+# TF-IDF / vocabulary stats, PII scrubbing, chunking, corpus anti-join,
+# label centroids — tap_postgres_spark.pipelineops
+# ---------------------------------------------------------------------------
+_SESSION_GAP_S = 4 * 3600
+_ROLLUP_WINDOW_S = 86_400
+_TFIDF_TOP_N = 5
+_VOCAB_TOP_N = 50
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (4 h gap)."""
+    return pipelineops.sessionize(_events(spark, sf_dir), gap_s=_SESSION_GAP_S)
+
+
+def q_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily window aggregate by event type."""
+    return pipelineops.window_rollup(
+        _events(spark, sf_dir), window_s=_ROLLUP_WINDOW_S
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document."""
+    return pipelineops.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, deterministic ties)."""
+    df = pipelineops.tfidf_top_terms(_docs(spark, sf_dir), top_n=_TFIDF_TOP_N)
+    return df.select(
+        "doc_id", F.col("rk").cast("long").alias("rk"), "term", "tf", "score"
+    )
+
+
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by frequency."""
+    return pipelineops.vocab_top(_docs(spark, sf_dir), n=_VOCAB_TOP_N)
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically inject PII spans (emails / IPs / phone numbers)
+    keyed on doc_id — the synthetic corpus has none, and the oracle
+    replays the identical injection, so scan/redact bugs break the match."""
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" call +555 123-4567")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hit counts over the injected-PII corpus."""
+    return pipelineops.pii_scan(_with_pii(_docs(spark, sf_dir)))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the injected-PII corpus (string equality with
+    the oracle's RE2 replacement — any span/ordering bug mismatches)."""
+    return pipelineops.pii_redact(_with_pii(_docs(spark, sf_dir)))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks with 8-token overlap — training-shard splitting."""
+    df = pipelineops.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+    return df.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def q_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: documents whose content hash is absent
+    from the even-doc_id half of the corpus (the 'already ingested' set)."""
+    docs = _docs(spark, sf_dir)
+    corpus = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    return pipelineops.dedup_against_corpus(docs, corpus).select("doc_id")
+
+
+def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution with exact percentiles."""
+    return pipelineops.length_stats(_docs(spark, sf_dir), group_col="lang")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of the corpus."""
+    return pipelineops.stratified_sample(_docs(spark, sf_dir), pct=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in (label, dim, centroid) row form."""
+    df = pipelineops.label_centroids(_emb(spark, sf_dir), dim=_LSH_DIM)
+    return df.select(
+        "label", F.col("dim").cast("long").alias("dim"), "centroid"
+    )
+
+
+# ---------------------------------------------------------------------------
 # entry / queries / oracle_sql
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -765,6 +890,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "sessionize": q_sessionize,
+        "window_rollup": q_window_rollup,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "vocab_top": q_vocab_top,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "chunk_documents": q_chunk_documents,
+        "dedup_against_corpus": q_dedup_against_corpus,
+        "label_centroids": q_label_centroids,
+        "length_stats": q_length_stats,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1062,6 +1199,23 @@ FROM withbest
 """
 
 
+def _pii_text_sql() -> str:
+    """SQL twin of ``_with_pii`` — identical injected spans per doc_id."""
+    return """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+               ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' call +555 123-4567' ELSE '' END
+           AS text
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fp_norm = (
         "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
@@ -1347,5 +1501,127 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN p % 3 = 1 THEN v END), 6) AS mean_g,
                    round(avg(CASE WHEN p % 3 = 2 THEN v END), 6) AS mean_b
             FROM px GROUP BY doc_id, w, h
+        """,
+        "sessionize": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                       FROM events),
+            f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w
+                                    > {_SESSION_GAP_S * 1_000_000} THEN 1
+                            ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)),
+            s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "window_rollup": f"""
+            SELECT epoch_us(ts) - (epoch_us(ts) % {_ROLLUP_WINDOW_S * 1_000_000})
+                       AS window_start_us,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            base AS (
+              SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                     round(1 - len(list_distinct(t)) / greatest(len(t), 1), 6)
+                         AS dup_word_ratio
+              FROM toks
+            ),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              FROM toks, UNNEST(range(1, len(t))) u(i)
+              WHERE len(t) >= 2
+            ),
+            cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+            top AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+                    FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens, b.dup_word_ratio,
+                   round(coalesce(top_bg / n_bg, 0), 6) AS top_bigram_ratio
+            FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            terms AS (SELECT doc_id, u.term FROM toks, UNNEST(t) AS u(term)),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, rk, term, tf, score FROM (
+              SELECT doc_id, term, tf,
+                     round(tf * ln((n_docs + 1) / (df + 1)), 6) AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY round(tf * ln((n_docs + 1) / (df + 1)), 6)
+                                  DESC, term ASC) AS rk
+              FROM tf JOIN df USING (term), n
+            ) WHERE rk <= {_TFIDF_TOP_N}
+        """,
+        "vocab_top": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            terms AS (SELECT u.term FROM toks, UNNEST(t) AS u(term))
+            SELECT term, count(*) AS n FROM terms GROUP BY term
+            ORDER BY n DESC, term ASC LIMIT {_VOCAB_TOP_N}
+        """,
+        "pii_scan": f"""
+            WITH t2 AS ({_pii_text_sql()})
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pipelineops.EMAIL_RE}'))::BIGINT
+                       AS n_email,
+                   len(regexp_extract_all(text, '{pipelineops.IPV4_RE}'))::BIGINT
+                       AS n_ip,
+                   len(regexp_extract_all(text, '{pipelineops.PHONE_RE}'))::BIGINT
+                       AS n_phone,
+                   (len(regexp_extract_all(text, '{pipelineops.EMAIL_RE}'))
+                    + len(regexp_extract_all(text, '{pipelineops.IPV4_RE}'))
+                    + len(regexp_extract_all(text, '{pipelineops.PHONE_RE}')))::BIGINT
+                       AS n_pii
+            FROM t2
+        """,
+        "pii_redact": f"""
+            WITH t2 AS ({_pii_text_sql()})
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{pipelineops.EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{pipelineops.IPV4_RE}', '[IP]', 'g'),
+                       '{pipelineops.PHONE_RE}', '[PHONE]', 'g') AS text_redacted
+            FROM t2
+        """,
+        "chunk_documents": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+            SELECT doc_id,
+                   (s // {_CHUNK_TOKENS - _CHUNK_OVERLAP})::BIGINT AS chunk_idx,
+                   least({_CHUNK_TOKENS}, len(t) - s)::BIGINT AS n_chunk_tokens,
+                   array_to_string(list_slice(t, s + 1, s + {_CHUNK_TOKENS}), ' ')
+                       AS chunk_text
+            FROM toks,
+                 UNNEST(range(0, len(t), {_CHUNK_TOKENS - _CHUNK_OVERLAP})) u(s)
+            WHERE len(t) > 0
+        """,
+        "dedup_against_corpus": """
+            SELECT doc_id FROM documents
+            WHERE md5(text) NOT IN
+                  (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        """,
+        "label_centroids": """
+            SELECT label, d AS dim,
+                   round(avg(embedding[d + 1]::DOUBLE), 6) AS centroid
+            FROM embeddings, UNNEST(range(0, len(embedding))) u(d)
+            GROUP BY label, d
+        """,
+        "length_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   quantile_cont(n_chars, 0.5) AS median_chars,
+                   quantile_cont(n_chars, 0.95) AS p95_chars
+            FROM documents GROUP BY lang
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {_H60.format(expr="doc_id::VARCHAR")} % 100 < 10
         """,
     }

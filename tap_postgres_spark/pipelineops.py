@@ -1,0 +1,397 @@
+"""Training-data pipeline operators beyond dedup/ANN.
+
+Round-3 widening of the LLM-data-pipeline surface (driver requirement;
+SURVEY §2.12): sessionization and tumbling-window rollups over the
+`events` stream, repetition / TF-IDF / vocabulary statistics and PII
+scrubbing over `documents`, fixed-budget document chunking for training
+shards, anti-join dedup of a fresh crawl against an existing corpus, and
+per-label embedding centroids.
+
+Design rules (same as textops.py):
+
+- pure Column expressions (JVM, whole-stage codegen) end to end — zero
+  Python UDFs in this module;
+- every operator has an exact ANSI-SQL oracle in ``__spark_entry__``;
+  regexes are restricted to constructs Java regex (Spark) and RE2
+  (DuckDB) evaluate identically;
+- every shuffle is keyed and bounded: sessionize shuffles once per user,
+  the text statistics shuffle on ``doc_id`` prefixes so partial
+  aggregation (map-side combine) does the heavy lifting, and the corpus
+  anti-join is a hash join on a 16-byte digest, never on document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import md5_60bit
+from .textops import tokens
+
+# ---------------------------------------------------------------------------
+# Event-stream operators: sessionization + tumbling-window rollup
+# ---------------------------------------------------------------------------
+
+
+def sessionize(events: DataFrame, gap_s: int = 4 * 3600) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_s``.  Classic training-pipeline /
+    clickstream primitive (no reference analog — §2.12 addition).
+
+    Scale shape: ONE shuffle on ``user_id`` feeds both window passes
+    (lag + running sum preserve the partitioning), then the per-session
+    fold groups on ``(user_id, session_seq)`` — a superset of the window
+    key, so AQE coalesces it on the already-local data.  Hot users are
+    inherently serial here (session order is a per-user total order);
+    at 10^10 events the bound is the largest single user's history, not
+    the corpus.
+    """
+    gap_us = int(gap_s) * 1_000_000
+    # ts is TIMESTAMP_NTZ on disk; the session timezone is pinned UTC by
+    # the callers, so the cast is the identity the oracle's epoch_us uses
+    e = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def window_rollup(events: DataFrame, window_s: int = 86_400) -> DataFrame:
+    """Tumbling-window aggregate by event type — the batch twin of a
+    Structured Streaming windowed agg (bucket arithmetic instead of
+    ``F.window`` so the SQL oracle is byte-identical).
+
+    Scale shape: one shuffle on ``(window_start_us, event_type)`` with
+    map-side combine; output cardinality is windows × types, independent
+    of input size.
+    """
+    wus = int(window_s) * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # integer bucket arithmetic (not floor of a double quotient): exact at
+    # any epoch magnitude, and byte-identical to the SQL oracle
+    return (
+        events.select(
+            (ts_us - (ts_us % wus)).cast("long").alias("window_start_us"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document statistics: repetition, TF-IDF, vocabulary
+# ---------------------------------------------------------------------------
+
+
+def _bigrams(text: Column) -> Column:
+    """Word bigrams ('w1 w2'); empty array below 2 tokens (unlike
+    textops.shingles' whole-text fallback — repetition stats must not
+    count a 1-token doc as having a repeated bigram)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction and most-frequent-bigram fraction (high values flag boilerplate
+    / spam for corpus filtering).
+
+    Scale shape: the bigram mode needs a per-(doc, bigram) count — explode
+    then two groupBys, BOTH keyed by a ``doc_id`` prefix, so the second is
+    a child-partitioning-preserving fold and partial aggregation absorbs
+    the explode fan-out before any network transfer.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_word_ratio"),
+        _bigrams(F.col(text_col)).alias("bgs"),
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+    )
+    bg_top = bg_counts.groupBy("doc_id").agg(
+        F.max("count").alias("top_bg"), F.sum("count").alias("n_bg")
+    )
+    return (
+        base.drop("bgs")
+        .join(bg_top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_word_ratio",
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document (deterministic: score desc,
+    term asc).  idf = ln((N+1)/(df+1)) — the smoothed form, computed as a
+    1-row broadcast so no driver round-trip bakes N into the plan.
+
+    Scale shape: explode → per-(doc, term) count (map-side combined) →
+    document-frequency fold on ``term`` → shuffle hash join back on
+    ``term`` → per-doc window.  The df relation is vocabulary-sized
+    (≪ corpus), but not guaranteed broadcast-able at 10^10 docs, so it
+    stays a shuffle join; the window's rank prune runs inside the
+    partial-window optimization (rank filter pushed below the final sort).
+    """
+    terms = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("doc_id", "rk", "term", "tf", "score")
+    )
+
+
+def vocab_top(docs: DataFrame, n: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-``n`` terms by frequency (ties → term asc).
+    One shuffle with map-side combine, then TakeOrderedAndProject — the
+    driver never sees more than ``n`` rows regardless of corpus size."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Restricted to constructs Java regex and RE2 evaluate identically:
+# character classes, bounded repetition, \b word boundaries — no
+# lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails, IPv4 addresses, phone-shaped
+    numbers) — the audit pass a corpus runs before redaction.  Pure
+    ``regexp_count`` column expressions; one codegen stage, no shuffle."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_ip = F.regexp_count(t, F.lit(IPV4_RE))
+    n_phone = F.regexp_count(t, F.lit(PHONE_RE))
+    return docs.select(
+        "doc_id",
+        n_email.cast("long").alias("n_email"),
+        n_ip.cast("long").alias("n_ip"),
+        n_phone.cast("long").alias("n_phone"),
+        (n_email + n_ip + n_phone).cast("long").alias("n_pii"),
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholders.  Emails first (their
+    local parts may contain digits that would otherwise be phone-matched),
+    then IPs, then phones.  Global replace on both engines."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, IPV4_RE, "[IP]")
+    red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
+    return docs.select("doc_id", red.alias("text_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — fixed token budget with overlap
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into ``chunk_tokens``-token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the sharding step before tokenizer/packing in a training pipeline.
+
+    Chunk starts are 0, stride, 2·stride, … (stride = chunk − overlap)
+    up to the last start < n_tokens, so every token lands in ≥1 chunk and
+    the final chunk may be short.  Empty documents produce no chunks.
+
+    Scale shape: ``sequence`` + ``posexplode`` + ``slice`` — one codegen
+    stage, no shuffle, output partitioning inherits the scan.  Fan-out is
+    n_tokens/stride per doc, bounded and linear.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select("doc_id", toks.alias("toks"), starts.alias("starts"))
+    ex = base.select(
+        "doc_id", "toks", F.posexplode("starts").alias("chunk_idx", "start")
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(chunk_tokens), F.size("toks") - F.col("start")).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice("toks", F.col("start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join dedup against an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against_corpus(
+    fresh: DataFrame, corpus_hashes: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Keep only fresh documents whose exact content hash does not appear
+    in an existing corpus — the incremental-crawl dedup step (the corpus
+    side ships as hashes, never text).
+
+    ``corpus_hashes`` must expose a single ``h`` column of md5 hex
+    digests.  Scale shape: LEFT ANTI hash join on a 16-byte key; Spark
+    plants a bloom-filter/DPP-style runtime filter on the fresh side when
+    beneficial, and AQE picks broadcast automatically if the corpus digest
+    set fits.  At 10^10×10^10 this is the canonical sort-merge anti join —
+    no text bytes cross the wire.
+    """
+    return (
+        fresh.withColumn("__h", F.md5(F.col(text_col)))
+        .join(corpus_hashes, F.col("__h") == F.col("h"), "left_anti")
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def length_stats(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-group document-length distribution: count, mean, exact median
+    and p95 of ``n_chars`` — the corpus health check run before/after
+    every filtering stage.
+
+    Exact percentiles (``percentile``, continuous interpolation — the
+    same formula as DuckDB's ``quantile_cont``) require a per-group sort;
+    honest cost note: at 10^10 docs the scale path swaps in
+    ``percentile_approx`` (one-pass sketch, no sort) — same query shape,
+    documented accuracy trade.  Group count is small (languages), so the
+    shuffle is one partial-aggregated exchange either way.
+    """
+    return docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95_chars"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    pct: int = 10,
+    *,
+    key_col: str = "doc_id",
+    modulus: int = 100,
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5-derived bucket of
+    ``key_col`` falls below ``pct`` (of ``modulus``).  Unlike
+    ``DataFrame.sample`` this is reproducible across engines, runs, and
+    partitionings — the property a training pipeline needs so a re-run
+    selects the SAME sample — and it composes with any pushed-down
+    filter (pure column expression, no shuffle, no RNG state)."""
+    bucket = md5_60bit(F.col(key_col)) % modulus
+    return docs.filter(bucket < pct)
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids per label
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label mean embedding, one output row per (label, dim) — the
+    class-prototype fold semantic-dedup and drift monitoring run over a
+    labelled corpus.
+
+    Scale shape: ``posexplode`` fans each vector into (label, dim, value)
+    and ONE groupBy with map-side combine folds it; output cardinality is
+    labels × dim, independent of corpus size.  (Row-form output instead of
+    re-assembled arrays keeps the fold a plain sum — no array aggregation
+    state — and gives the SQL oracle an exact twin.)
+    """
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        ex.filter(F.col("dim") < dim)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )

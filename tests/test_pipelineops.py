@@ -1,0 +1,227 @@
+"""Unit semantics for tap_postgres_spark.pipelineops — hand-computed
+oracles on tiny inputs (the driver's DuckDB oracle covers the same ops at
+sf0.01; these pin edge cases the synthetic corpus never hits)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_postgres_spark import pipelineops
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, _ts(0), 7, 1.0),
+                (2, _ts(1), 7, 2.0),   # same session (60 s gap)
+                (3, _ts(20), 7, 4.0),  # > 300 s gap → new session
+                (4, _ts(0), 8, 8.0),   # other user
+            ],
+        )
+        out = {
+            (r.user_id, r.session_seq): (r.n_events, r.total_value)
+            for r in pipelineops.sessionize(ev, gap_s=300).collect()
+        }
+        assert out == {(7, 1): (2, 3.0), (7, 2): (1, 4.0), (8, 1): (1, 8.0)}
+
+    def test_tie_on_timestamp_breaks_by_event_id(self, spark):
+        ev = _events(spark, [(2, _ts(0), 7, 1.0), (1, _ts(0), 7, 1.0)])
+        rows = pipelineops.sessionize(ev, gap_s=60).collect()
+        assert len(rows) == 1 and rows[0].n_events == 2
+
+    def test_boundary_gap_exactly_equal_stays(self, spark):
+        # gap strictly greater than gap_s splits; equal does not
+        ev = _events(spark, [(1, _ts(0), 7, 1.0), (2, _ts(5), 7, 1.0)])
+        rows = pipelineops.sessionize(ev, gap_s=300).collect()
+        assert len(rows) == 1
+
+
+class TestWindowRollup:
+    def test_buckets_and_sums(self, spark):
+        ev = spark.createDataFrame(
+            [
+                (1, _ts(0), 7, "a", 1.5),
+                (2, _ts(4), 7, "a", 2.5),
+                (3, _ts(6), 7, "a", 1.0),  # next 5-min bucket
+                (4, _ts(0), 7, "b", 9.0),
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+        )
+        out = {
+            (r.window_start_us, r.event_type): (r.n, r.sum_value)
+            for r in pipelineops.window_rollup(ev, window_s=300).collect()
+        }
+        base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+        assert out[(base, "a")] == (2, 4.0)
+        assert out[(base + 300_000_000, "a")] == (1, 1.0)
+        assert out[(base, "b")] == (1, 9.0)
+
+
+class TestRepetitionStats:
+    def test_ratios(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a"),      # 5 tokens, 2 distinct; bigrams: ab,ba,ab,ba → top 2/4
+                (2, "x y z"),          # no repetition
+                (3, "solo"),           # 1 token → no bigrams → ratio 0
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in pipelineops.repetition_stats(docs).collect()}
+        assert out[1].dup_word_ratio == pytest.approx(1 - 2 / 5, abs=1e-6)
+        assert out[1].top_bigram_ratio == pytest.approx(0.5, abs=1e-6)
+        assert out[2].dup_word_ratio == 0.0
+        assert out[2].top_bigram_ratio == pytest.approx(0.5, abs=1e-6)  # all unique: 1/2
+        assert out[3].n_tokens == 1
+        assert out[3].top_bigram_ratio == 0.0
+
+
+class TestTfidf:
+    def test_rare_term_outranks_common(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "common rare"), (2, "common"), (3, "common")],
+            "doc_id long, text string",
+        )
+        rows = pipelineops.tfidf_top_terms(docs, top_n=1).collect()
+        top = {r.doc_id: r.term for r in rows}
+        assert top[1] == "rare"  # df=1 beats df=3 at equal tf
+
+    def test_deterministic_tie_break(self, spark):
+        docs = spark.createDataFrame([(1, "b a")], "doc_id long, text string")
+        rows = pipelineops.tfidf_top_terms(docs, top_n=2).collect()
+        assert [r.term for r in sorted(rows, key=lambda r: r.rk)] == ["a", "b"]
+
+
+class TestPii:
+    def test_scan_counts(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@my-site.org now"),
+                (2, "server 192.168.0.1 and 10.0.0.2"),
+                (3, "call +555 123-4567 or 555 123-4568"),
+                (4, "clean text with no pii at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in pipelineops.pii_scan(docs).collect()}
+        assert (out[1].n_email, out[1].n_pii) == (1, 1)
+        assert (out[2].n_ip, out[2].n_pii) == (2, 2)
+        assert (out[3].n_phone, out[3].n_pii) == (2, 2)
+        assert out[4].n_pii == 0
+
+    def test_redact_replaces_all_spans(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a@b.co and c@d.io at 1.2.3.4 call +123 456-7890")],
+            "doc_id long, text string",
+        )
+        red = pipelineops.pii_redact(docs).collect()[0].text_redacted
+        assert red == "[EMAIL] and [EMAIL] at [IP] call [PHONE]"
+
+    def test_ip_inside_word_not_matched(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "version v1.2.3.4beta is fine")], "doc_id long, text string"
+        )
+        assert pipelineops.pii_scan(docs).collect()[0].n_ip == 0
+
+
+class TestChunking:
+    def test_overlap_and_tail(self, spark):
+        words = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+        rows = sorted(
+            pipelineops.chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # stride 3: starts 0,3,6,9
+        assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+        assert rows[0].chunk_text == "w0 w1 w2 w3"
+        assert rows[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+        assert rows[3].chunk_text == "w9"  # short tail
+        assert rows[3].n_chunk_tokens == 1
+        # every token appears in at least one chunk
+        covered = set(" ".join(r.chunk_text for r in rows).split())
+        assert covered == set(words.split())
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        assert pipelineops.chunk_documents(docs).count() == 0
+
+    def test_overlap_must_be_smaller(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            pipelineops.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+class TestCorpusDedup:
+    def test_anti_join_on_hash(self, spark):
+        fresh = spark.createDataFrame(
+            [(1, "seen"), (2, "new"), (3, "seen")], "doc_id long, text string"
+        )
+        corpus = fresh.filter("doc_id = 1").select(F.md5("text").alias("h"))
+        kept = {r.doc_id for r in pipelineops.dedup_against_corpus(fresh, corpus).collect()}
+        # doc 3 duplicates corpus content even though its id is new
+        assert kept == {2}
+
+
+class TestLabelCentroids:
+    def test_mean_per_dim(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], 0),
+                (2, [3.0, 4.0], 0),
+                (3, [10.0, 20.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {
+            (r.label, r.dim): r.centroid
+            for r in pipelineops.label_centroids(emb, dim=2).collect()
+        }
+        assert out == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
+class TestLengthStats:
+    def test_exact_percentiles(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en", i * 10) for i in range(1, 6)] + [(9, "fr", 100)],
+            "doc_id long, lang string, n_chars long",
+        )
+        out = {r.lang: r for r in __import__("tap_postgres_spark.pipelineops", fromlist=["x"]).length_stats(docs).collect()}
+        assert out["en"].n_docs == 5
+        assert out["en"].median_chars == 30.0
+        assert out["en"].mean_chars == 30.0
+        assert out["fr"].median_chars == 100.0
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_partition_invariant(self, spark):
+        from tap_postgres_spark import pipelineops
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(1000)], "doc_id long, lang string"
+        )
+        a = {r.doc_id for r in pipelineops.stratified_sample(docs, pct=10).collect()}
+        b = {
+            r.doc_id
+            for r in pipelineops.stratified_sample(docs.repartition(7), pct=10).collect()
+        }
+        assert a == b  # same sample regardless of partitioning
+        assert 50 < len(a) < 200  # ~10% of 1000
+        # monotone: a larger pct strictly contains the smaller sample
+        c = {r.doc_id for r in pipelineops.stratified_sample(docs, pct=20).collect()}
+        assert a <= c
