@@ -18,6 +18,8 @@ so the DuckDB oracle (``list_cosine_similarity``) matches bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -57,7 +59,7 @@ def cosine_topk(
     plan); the scan + dot product is one codegen stage, the top-k is a
     ``TakeOrderedAndProject`` — no full sort, no shuffle of the scores.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.lit([float(v) for v in query_vec])  # one py4j call, not dim calls
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
@@ -72,13 +74,40 @@ def hyperplane_bits(
     a long.  Deterministic planes → reproducible + oracle-friendly."""
     bit_terms = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = F.lit([float(x) for x in p])  # one py4j call per plane
         bit = F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         bit_terms.append(F.shiftleft(bit, i))
     out = bit_terms[0]
     for t in bit_terms[1:]:
         out = out + t
     return out
+
+
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """Spark-SQL text of the same double-precision sequential dot product
+    ``_dot`` builds — numerically identical (float→double widening is
+    exact; the fold order is the array order in both forms)."""
+    arr = "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def hyperplane_bits_sql(vec_sql: str, planes: list[list[float]]) -> Column:
+    """:func:`hyperplane_bits` built as ONE ``F.expr`` string instead of
+    per-element Column calls.  Same plan, same generated code — but plan
+    CONSTRUCTION is a single py4j round trip instead of ~10k (dim ×
+    planes literals + lambda registrations), which dominated wall time
+    for short interactive queries (~3 s of socket chatter at 64-dim ×
+    24 planes)."""
+    terms = [
+        "shiftleft(CAST(CASE WHEN "
+        + _dot_sql(vec_sql, p)
+        + f" >= 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+        for i, p in enumerate(planes)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def hyperplane_bits_pandas(vec_col: str, planes: list[list[float]]):
@@ -173,12 +202,20 @@ def lsh_bucket_topk(
     prunes the scan ~2^n_planes× (and would be a partition key on disk)."""
     dim = len(query_vec)
     planes = make_planes(dim, n_planes, seed)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qbits_df = df.sparkSession.range(1).select(hyperplane_bits(q, planes).alias("b"))
-    qbits = qbits_df.collect()[0]["b"]
-    candidates = df.withColumn("_b", hyperplane_bits(F.col(vec_col), planes)).filter(
-        F.col("_b") == F.lit(qbits)
-    )
+    # query-side signature in pure Python: a sequential double fold over
+    # the literal vector — the same left-to-right order the codegen'd
+    # aggregate uses, so the bits match the column side bit-for-bit
+    # (and no Spark job is spent hashing one constant vector)
+    qbits = 0
+    for i, p in enumerate(planes):
+        dot = 0.0
+        for x, y in zip(query_vec, p):
+            dot += float(x) * float(y)
+        if dot >= 0:
+            qbits += 1 << i
+    candidates = df.withColumn(
+        "_b", hyperplane_bits_sql(vec_col, planes)
+    ).filter(F.col("_b") == F.lit(qbits))
     return cosine_topk(
         candidates, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
@@ -199,17 +236,38 @@ def ivf_assign(
     DuckDB's round) — used by the trained-centroid path so a SQL oracle
     replaying the same arithmetic picks identical cells even when the two
     engines' floating sums differ in the last ulp."""
-    best_id = F.lit(-1).cast("long")
-    best_sim = F.lit(-2.0)
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = cosine(F.col(vec_col), c)
+    # argmax as array_position(sims, array_max(sims)): linear-size
+    # expression (the previous when-chain nested each step's best inside
+    # the next — 2^k tree copies), first occurrence = lowest cid on ties,
+    # exactly like the strict-greater chain it replaces.  Built as one
+    # F.expr string: plan construction is one py4j round trip.
+    norm_vec = (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    sims = []
+    for _cid, cvec in centroids:
+        # centroid norm folded in Python with the same sequential order
+        # the codegen'd aggregate would use — identical double result
+        nc = 0.0
+        for x in cvec:
+            nc += float(x) * float(x)
+        nc = math.sqrt(nc)
+        sim = f"({_dot_sql(vec_col, cvec)} / ({norm_vec} * CAST({nc!r} AS DOUBLE)))"
         if round_to is not None:
-            sim = F.round(sim, round_to)
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return df.withColumn("centroid_id", best_id)
+            sim = f"round({sim}, {int(round_to)})"
+        sims.append(sim)
+    cid_arr = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
+    sims_arr = "array(" + ",".join(sims) + ")"
+    pick = (
+        f"CAST(element_at({cid_arr}, CAST(array_position(_sims,"
+        " array_max(_sims)) AS INT)) AS BIGINT)"
+    )
+    return (
+        df.withColumn("_sims", F.expr(sims_arr))  # k sims evaluated once
+        .withColumn("centroid_id", F.expr(pick))
+        .drop("_sims")
+    )
 
 
 def train_centroids(
@@ -313,7 +371,7 @@ def lsh_blocked(
     tables = [
         F.struct(
             F.lit(t).alias("t"),
-            hyperplane_bits(F.col(vec_col), make_planes(dim, n_planes, seed)).alias(
+            hyperplane_bits_sql(vec_col, make_planes(dim, n_planes, seed)).alias(
                 "bkt"
             ),
         )
@@ -333,14 +391,21 @@ def lsh_oversized_buckets(
     n_planes: int = 8,
     seeds: tuple[int, ...] = (7, 13),
     max_bucket_size: int = 64,
+    blocked: DataFrame | None = None,
 ) -> DataFrame:
     """(t, bkt, n) for hash-table buckets ABOVE the hot-bucket cap — the
     'no silent caps' companion to :func:`neardup_pairs_lsh`, mirroring
     :func:`tap_postgres_spark.textops.minhash_lsh_oversized_buckets`.
-    Whatever the cap drops from the pair join is enumerable here."""
-    blocked = lsh_blocked(
-        df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seeds=seeds
-    )
+    Whatever the cap drops from the pair join is enumerable here.
+
+    Pass a prebuilt ``blocked`` relation (from :func:`lsh_blocked`) to
+    share one analyzed signature subtree across consumers — the
+    signature expression is dim × planes × tables nodes, and re-analyzing
+    it per consumer dominates short-query wall time."""
+    if blocked is None:
+        blocked = lsh_blocked(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seeds=seeds
+        )
     return (
         blocked.groupBy("t", "bkt")
         .agg(F.count("*").alias("n"))
@@ -359,6 +424,7 @@ def neardup_pairs_lsh(
     seeds: tuple[int, ...] = (7, 13),
     round_to: int = 6,
     max_bucket_size: int | None = None,
+    blocked: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold, blocked on
     random-hyperplane LSH buckets — the default blocking for unbounded
@@ -389,10 +455,14 @@ def neardup_pairs_lsh(
     the standard LSH 1 - (1 - p^n_planes)^tables with p = 1 - angle/π;
     add seeds (tables) to raise it.  Hyperplanes are a deterministic LCG
     (:func:`make_planes`) so the SQL oracle inlines the same constants.
+
+    Pass a prebuilt ``blocked`` relation to share one analyzed signature
+    subtree with other consumers (see :func:`lsh_oversized_buckets`).
     """
-    blocked = lsh_blocked(
-        df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seeds=seeds
-    )
+    if blocked is None:
+        blocked = lsh_blocked(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seeds=seeds
+        )
     if max_bucket_size is not None:
         ok = (
             blocked.groupBy("t", "bkt")
@@ -442,18 +512,23 @@ def neardup_dedup_keep(
     one duplicate cluster — sound when n_planes is sized so bucket
     collision implies high cosine (≥16 planes at production dims); at
     toy n_planes it over-drops, which is the conservative direction for
-    a training-data dedup."""
+    a training-data dedup.
+
+    The ``blocked`` relation (the expensive dim × planes × tables
+    signature subtree) is built ONCE and shared by the pair join and the
+    oversized-keep rule — the embedding analog of the round-2
+    minhash_dedup_keep refactor (one banded relation, two consumers)."""
+    blocked = lsh_blocked(
+        df, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, seeds=seeds,
+    )
     pairs = neardup_pairs_lsh(
         df, id_col=id_col, vec_col=vec_col, dim=dim, threshold=threshold,
         n_planes=n_planes, seeds=seeds, round_to=round_to,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, blocked=blocked,
     )
     drop = pairs.select(F.col("b").alias(id_col))
     if max_bucket_size is not None:
-        blocked = lsh_blocked(
-            df, id_col=id_col, vec_col=vec_col, dim=dim,
-            n_planes=n_planes, seeds=seeds,
-        )
         over = (
             blocked.groupBy("t", "bkt")
             .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_keep"))
