@@ -450,44 +450,70 @@ def generate_bulk_feed(
     u = rng.random(n_events)
     action = np.where(u < pct_insert, "I", np.where(u < pct_insert + pct_update, "U", "D"))
 
-    repo = pd.Series(key_id % 97).map(lambda i: f"org{i % 7}/repo{i}").astype("string")
-    path = pd.Series(key_id).map(lambda k: f"src/d{k % 31}/f{k}.py").astype("string")
-    ver = pd.Series(lsn).astype(str)
-    commit = pd.util.hash_pandas_object(pd.Series(lsn * 31 + key_id), index=False).map(
-        lambda h: f"{h:016x}" * 2
-    )
-    content = (
-        "// code " + repo.astype(str) + "/" + path.astype(str) + "@" + ver
-        + "\nfn main() { return " + pd.Series(key_id).astype(str) + "; }\n"
-    )
+    # String/payload construction happens PER FILE CHUNK (round-3 fix):
+    # the previous whole-corpus build materialized ~16 GB of JSON strings
+    # plus temporaries in one pass (50+ GB RSS, ~25 min single-threaded at
+    # 32M events); chunking bounds memory at ~n/n_files rows of strings
+    # and produces byte-identical files (pure slicing of the same
+    # deterministic arrays).  Commit hashes are still derived from the
+    # full-corpus hash_pandas_object call (chunking must not change them).
+    import binascii
+
+    h = pd.util.hash_pandas_object(
+        pd.Series(lsn * 31 + key_id), index=False
+    ).to_numpy(dtype=np.uint64)
 
     esc = (
         lambda s: s.str.replace("\\", "\\\\", regex=False)
         .str.replace('"', '\\"', regex=False)
         .str.replace("\n", "\\n", regex=False)
     )
-    cols_json = (
-        '{"action":"' + pd.Series(action) + '","schema":"public","table":"source_code_repos",'
-    )
-    full_image = (
-        '"columns":[{"name":"repo","type":"text","value":"' + esc(repo.astype(str))
-        + '"},{"name":"path","type":"text","value":"' + esc(path.astype(str))
-        + '"},{"name":"commit","type":"text","value":"' + commit
-        + '"},{"name":"lang","type":"text","value":"py"}'
-        + ',{"name":"content","type":"text","value":"' + esc(content) + '"}]}'
-    )
-    identity = (
-        '"identity":[{"name":"repo","type":"text","value":"' + esc(repo.astype(str))
-        + '"},{"name":"path","type":"text","value":"' + esc(path.astype(str)) + '"}]}'
-    )
-    payload = cols_json + pd.Series(np.where(action == "D", identity, full_image))
 
-    df = pd.DataFrame({"lsn": lsn, "txid": txid, "payload": payload})
     per = (n_events + n_files - 1) // n_files
     for i in range(n_files):
-        chunk = df.iloc[i * per : (i + 1) * per]
-        if chunk.empty:
+        sl = slice(i * per, min((i + 1) * per, n_events))
+        if sl.start >= n_events:
             continue
+        kc = pd.Series(key_id[sl])
+        rid = kc % 97
+        repo = ("org" + (rid % 7).astype(str) + "/repo" + rid.astype(str)).astype(
+            "string"
+        )
+        path = (
+            "src/d" + (kc % 31).astype(str) + "/f" + kc.astype(str) + ".py"
+        ).astype("string")
+        ver = pd.Series(lsn[sl]).astype(str)
+        # f"{h:016x}" ≡ hexlify of the big-endian 8-byte encoding
+        hx = np.frombuffer(
+            binascii.hexlify(h[sl].astype(">u8").tobytes()), dtype="S16"
+        )
+        commit = pd.Series(hx).str.decode("ascii")
+        commit = commit + commit
+        content = (
+            "// code " + repo.astype(str) + "/" + path.astype(str) + "@" + ver
+            + "\nfn main() { return " + kc.astype(str) + "; }\n"
+        )
+        ac = pd.Series(action[sl])
+        cols_json = (
+            '{"action":"' + ac + '","schema":"public","table":"source_code_repos",'
+        )
+        full_image = (
+            '"columns":[{"name":"repo","type":"text","value":"' + esc(repo.astype(str))
+            + '"},{"name":"path","type":"text","value":"' + esc(path.astype(str))
+            + '"},{"name":"commit","type":"text","value":"' + commit
+            + '"},{"name":"lang","type":"text","value":"py"}'
+            + ',{"name":"content","type":"text","value":"' + esc(content) + '"}]}'
+        )
+        identity = (
+            '"identity":[{"name":"repo","type":"text","value":"' + esc(repo.astype(str))
+            + '"},{"name":"path","type":"text","value":"' + esc(path.astype(str)) + '"}]}'
+        )
+        payload = cols_json + pd.Series(
+            np.where(action[sl] == "D", identity, full_image)
+        )
+        chunk = pd.DataFrame(
+            {"lsn": lsn[sl], "txid": txid[sl], "payload": payload}
+        )
         pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
                        os.path.join(out_dir, f"feed-{i:05d}.parquet"))
     return {

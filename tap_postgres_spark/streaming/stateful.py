@@ -128,3 +128,148 @@ def streaming_order_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization — the cross-batch twin of pipelineops.sessionize
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_us: int):
+    def _session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        user_id = int(key[0])
+        if state.exists:
+            seq, start_us, last_us, n_ev, sum_v = state.get
+        else:
+            seq, start_us, last_us, n_ev, sum_v = 0, None, None, 0, 0.0
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # event-time order within the batch (the feed is LSN/ts ordered
+            # ACROSS batches — same total order the batch twin sorts by)
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+            ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+            val = pdf["value"].to_numpy(dtype=np.float64)
+
+            # vectorized segment split: a new session starts at row i when
+            # the gap from the previous event (in-batch or carried state)
+            # exceeds gap_us
+            prev = np.concatenate(
+                ([last_us if last_us is not None else np.iinfo(np.int64).min], ts[:-1])
+            )
+            brk = (ts - prev) > gap_us
+            if last_us is None:
+                brk[0] = True
+            starts = np.flatnonzero(brk)
+
+            # fold each in-batch segment with reduceat — one Python
+            # iteration per SESSION, never per event.  Segment boundaries
+            # always include row 0 so head rows that CONTINUE the open
+            # session are summed too (cont flag below).
+            bounds = (
+                starts
+                if starts.size and starts[0] == 0
+                else np.concatenate(([0], starts)).astype(np.int64)
+            )
+            seg_counts = np.diff(np.append(bounds, len(ts)))
+            seg_sums = np.add.reduceat(val, bounds)
+            seg_first = ts[bounds]
+            seg_last = ts[bounds + seg_counts - 1]
+            cont = not brk[0]  # segment 0 continues the carried session
+
+            closed: list[tuple] = []
+            for i in range(len(bounds)):
+                if i == 0 and cont:
+                    n_ev += int(seg_counts[0])
+                    sum_v += float(seg_sums[0])
+                    last_us = int(seg_last[0])
+                    continue
+                if n_ev:  # close the session the new break ends
+                    closed.append((user_id, seq, n_ev, start_us, last_us, sum_v))
+                seq += 1
+                start_us = int(seg_first[i])
+                last_us = int(seg_last[i])
+                n_ev = int(seg_counts[i])
+                sum_v = float(seg_sums[i])
+
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=[
+                        "user_id", "session_seq", "n_events",
+                        "start_us", "end_us", "total_value",
+                    ],
+                )
+
+        if start_us is not None:  # all-empty batches leave state untouched
+            state.update(
+                (int(seq), int(start_us), int(last_us), int(n_ev), float(sum_v))
+            )
+
+    return _session_fn
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_s: int = 4 * 3600,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cross-batch gap sessionization via ``applyInPandasWithState`` — the
+    streaming twin of :func:`tap_postgres_spark.pipelineops.sessionize`.
+
+    A session CLOSES (and its summary row is emitted, append mode) when a
+    later event for the same user arrives more than ``gap_s`` after the
+    session's last event; the open session per user rides the state store
+    between micro-batches (one 5-field row per user, bounded by |users|).
+    The in-batch fold is numpy ``reduceat`` over gap-split segments — one
+    Python iteration per SESSION, never per event.
+
+    Same total-value/count/bounds semantics as the batch twin; the tests
+    pin batch-vs-streaming equality on the closed prefix.
+    """
+    gap_us = int(gap_s) * 1_000_000
+    keyed = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _make_session_fn(gap_us),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
