@@ -1,0 +1,104 @@
+"""Watermarked tumbling-window rollup: append-mode window finalization,
+late-event drop, and value parity with the batch twin
+(pipelineops.window_rollup) on the closed prefix."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from tap_postgres_spark import pipelineops
+from tap_postgres_spark.streaming.windowed import streaming_window_rollup
+
+SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 3, 1, 0, minute, second)
+
+
+def test_streaming_window_rollup_watermark(spark, tmp_path):
+    feed = str(tmp_path / "wfeed")
+    os.makedirs(feed)
+    out_dir = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+
+    # 10-min windows, 2-min allowed lateness.
+    # batch 1: window W0 = [00:00, 00:10) — types a and b
+    b1 = [
+        (1, _ts(0), "a", 1.0),
+        (2, _ts(2), "b", 2.5),
+        (3, _ts(5), "a", 4.0),
+    ]
+    # batch 2: W1 = [00:10, 00:20) opens; after this batch the watermark
+    # is 00:12 = max(00:14) - 2 min > W0's end, so W0 is finalized (and
+    # emitted) at the start of batch 3
+    b2 = [(4, _ts(14), "a", 10.0)]
+    # batch 3: sentinel pushes the watermark to 00:38, so W0 finalizes
+    # (emitted at end of this batch) and W1 finalizes in batch 4
+    b3 = [(6, _ts(40), "b", 0.25)]
+    # batch 4: event_id=5 is TOO-LATE for the already-finalized W0 →
+    # dropped by the late-record gate (Spark admits by the PREVIOUS
+    # trigger's watermark, 00:12 here, which is past W0's end; a merge
+    # within lateness would have been fine — after finalization nothing
+    # may change the emitted row).  The far-future event's own window
+    # stays open → never emitted.
+    b4 = [
+        (5, _ts(1), "a", 100.0),  # must NOT appear anywhere
+        (7, _ts(0) + dt.timedelta(hours=1), "b", 9.0),
+    ]
+
+    for i, rows in enumerate((b1, b2, b3, b4), 1):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            feed + f"/f{i}"
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed + "/*/")
+    )
+    q = (
+        streaming_window_rollup(stream, window_s=600, lateness_s=120)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.window_start_us, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    closed_starts = {w for (w, _t) in got}
+
+    # W0, W1 and the 00:40 window closed (availableNow runs a final
+    # no-data flush batch with the last watermark, 00:58); the 01:00
+    # window is still open and must NOT have been emitted
+    assert len(closed_starts) == 3
+    last_start = int(
+        (_ts(0) + dt.timedelta(hours=1)).replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp()
+    ) // 600 * 600 * 1_000_000
+    assert last_start not in closed_starts
+
+    # batch twin over the events the watermark admitted (everything but
+    # the too-late row), restricted to the closed windows → exact parity
+    admitted = [r for r in b1 + b2 + b3 + b4 if r[0] != 5]
+    twin = {
+        (r.window_start_us, r.event_type): (r.n, r.sum_value)
+        for r in pipelineops.window_rollup(
+            spark.createDataFrame(admitted, SCHEMA), window_s=600
+        ).collect()
+        if r.window_start_us in closed_starts
+    }
+    assert got == twin
+
+    # the late row was dropped, not merged: W0/'a' counts 2 events (ids
+    # 1 and 3), total 5.0 — not 3 events / 105.0
+    w0a = [(w, t) for (w, t) in got if t == "a" and (w, "b") in got][0]
+    assert got[w0a] == (2, 5.0)
