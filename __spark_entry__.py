@@ -591,6 +591,17 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN join: 3 query vectors x whole corpus, top-5 each —
+    broadcast query side, vectors pruned before the per-query ranking
+    shuffle (only id/id/score triples move)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return vectorops.knn_join(queries, emb, k=5, round_to=4)
+
+
 def q_singer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer RECORD rendering (the reference's stdout message stream,
     tap.py:784-797) — executor-side to_json, one message line per row."""
@@ -885,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
+        "knn_join": q_knn_join,
         "singer_records": q_singer_records,
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
@@ -1446,6 +1458,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
         "ivf_topk_trained": _ivf_trained_sql(),
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                       AS cos_sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.q_id
+            )
+            SELECT q_id, vec_id, cos_sim FROM (
+              SELECT q_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id ASC) AS rn
+              FROM scored
+            ) WHERE rn <= 5
+        """,
         "singer_records": """
             SELECT '{"type": "RECORD", "stream": "public.nation", "record": '
                    || to_json(struct_pack(

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -577,4 +578,63 @@ def neardup_pairs_blocked(
         .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN: for every row of the (small)
+    ``queries`` table, the ``k`` most cosine-similar rows of ``corpus``
+    — the multi-query generalization of :func:`cosine_topk` (which
+    handles one literal query vector).
+
+    Plan shape, chosen for the 100-TB case:
+
+    - the query side is ``broadcast()`` — scoring happens inside the
+      corpus scan stage (one pass, whole-stage codegen, no corpus
+      shuffle and no CartesianProduct node);
+    - vectors never leave that stage: only ``(q_id, id, score)``
+      triples (~24 bytes/row) enter the per-query ranking shuffle,
+      partitioned by ``q_id`` (naturally spread: every query draws
+      candidates from every corpus partition);
+    - ranking is over the ROUNDED score with id tie-break, so the
+      result is deterministic and a SQL oracle can replay it exactly.
+
+    |queries| × |corpus| scored rows is the exact-KNN lower bound
+    without an index; for large query sets use :func:`lsh_bucket_topk`
+    / :func:`ivf_topk` per probe instead.
+
+    ``exclude_self`` drops ``q_id == id`` matches for the common
+    queries ⊆ corpus evaluation setup.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("_q_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    scored = corpus.crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("_q_id"))
+    scored = scored.select(
+        F.col("_q_id").alias(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), round_to).alias("cos_sim"),
+    )
+    w = (
+        Window.partitionBy(q_id_col)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id_col, id_col, "cos_sim")
     )

@@ -256,3 +256,33 @@ def test_pandas_variants_match_expression_forms(spark, emb):
         for r in vectorops.ivf_assign_pandas(emb, cents).collect()
     }
     assert a_expr == a_pud
+
+
+def test_knn_join_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = {}
+    for r in vectorops.knn_join(queries, emb, k=5, round_to=6).collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+
+    for q_id in (0, 1, 2):
+        q = mat[list(ids).index(q_id)]
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        sims = np.round(sims, 6)
+        cand = [(int(i), float(s)) for i, s in zip(ids, sims) if int(i) != q_id]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        assert got[q_id] == cand[:5]
+
+
+def test_knn_join_plan_broadcast_no_corpus_shuffle(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    plan = (
+        vectorops.knn_join(queries, emb, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
