@@ -106,19 +106,24 @@ def window_rollup(events: DataFrame, window_s: int = 86_400) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bigrams(text: Column) -> Column:
-    """Word bigrams ('w1 w2'); empty array below 2 tokens (unlike
-    textops.shingles' whole-text fallback — repetition stats must not
-    count a 1-token doc as having a repeated bigram)."""
-    toks = tokens(text)
+def _bigrams(toks: Column) -> Column:
+    """Word bigrams ('w1 w2') from a MATERIALIZED token-array column;
+    empty array below 2 tokens (unlike textops.shingles' whole-text
+    fallback — repetition stats must not count a 1-token doc as having a
+    repeated bigram).
+
+    ``zip_with`` over two ``slice``s so the lambda touches only array
+    VALUES: referencing the token array's producing expression inside the
+    lambda (e.g. ``element_at(tokens(text), i)``) re-evaluates the regex
+    split per element — O(tokens²) per document, measured 10-40× slower
+    at 5k docs (same trap documented at textops._shingle_rows)."""
     n = F.size(toks)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -131,17 +136,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: the bigram mode needs a per-(doc, bigram) count — explode
     then two groupBys, BOTH keyed by a ``doc_id`` prefix, so the second is
     a child-partitioning-preserving fold and partial aggregation absorbs
-    the explode fan-out before any network transfer.
+    the explode fan-out before any network transfer.  Tokenization is
+    materialized in its own projection (referenced >1×, so CollapseProject
+    keeps it) — every downstream expression indexes the array, never
+    re-splits the text.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    base = docs.select(
+    toked = docs.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    base = toked.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(
-            1 - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+            1 - F.size(F.array_distinct(F.col("__toks"))) / F.greatest(n, F.lit(1)), 6
         ).alias("dup_word_ratio"),
-        _bigrams(F.col(text_col)).alias("bgs"),
+        _bigrams(F.col("__toks")).alias("bgs"),
     )
     bg_counts = (
         base.select("doc_id", F.explode("bgs").alias("bg"))
