@@ -211,6 +211,65 @@ def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot→stream handoff over the REAL LakeTable + bootstrap API
+    (modes/bootstrap.py): a consistent snapshot of the events-derived
+    keyed state at LSN h (median event_id) is bootstrapped with
+    ``snapshot_lsn=h``, then the WAL tail replays from the handed-off
+    bookmark; LWW resolves the overlap.  Final state must equal a full
+    replay — rows untouched after h keep the snapshot stamp h."""
+    import tempfile
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.bootstrap import bootstrap_snapshot
+    from tap_postgres_spark.schema import widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+
+    _pin_session(spark)
+    ev = _events(spark, sf_dir)
+    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    snap = (
+        ev.filter(F.col("event_id") <= h)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max_by("event_type", "event_id").alias("_lt"),
+        )
+        .filter(F.col("_lt") != "error")
+        .drop("_lt")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    stream = StreamDef(
+        schema_name="public",
+        table_name="events_state",
+        spark_schema=schema,
+        key_properties=("user_id",),
+    )
+    d = tempfile.mkdtemp(prefix="tps-bootstrap-")
+    tbl = LakeTable.create(
+        spark, f"{d}/t", widen_for_cdc(schema), ["user_id"], num_buckets=8
+    )
+    state = StateStore(f"{d}/state.json")
+    bootstrap_snapshot(snap, stream, tbl, state, snapshot_lsn=h)
+
+    is_del = F.col("event_type") == "error"
+    tail = ev.filter(F.col("event_id") >= state.bookmark(stream.fqn)).select(
+        "user_id",
+        F.when(is_del, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.col("event_id").alias("_sdc_lsn"),
+        F.when(is_del, F.lit("2024-01-01T00:00:00Z"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("_sdc_deleted_at"),
+    )
+    tbl.merge_into(tail, epoch_id="tail")
+    return tbl.read().select("user_id", "value", "_sdc_lsn")
+
+
 def q_bookmark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3: forward-only max bookmark per stream (per event_type)."""
     return (
@@ -591,6 +650,31 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN: top-10 by cosine over int8-quantized vectors (scales
+    cancel — pure integer dot products, exact in double on both
+    engines)."""
+    q = _query_vec(spark, sf_dir, 0)
+    return vectorops.quantized_topk(_emb(spark, sf_dir), q, k=10, round_to=6)
+
+
+# binary-rerank constants shared with the SQL oracle
+_HAM_PLANES = 24
+_HAM_SEED = 11
+_HAM_SHORTLIST = 64
+
+
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature ANN: hamming-distance shortlist over 24-plane
+    sign signatures, exact cosine rerank of the 64 survivors."""
+    q = _query_vec(spark, sf_dir, 0)
+    return vectorops.hamming_rerank_topk(
+        _emb(spark, sf_dir), q, k=10,
+        shortlist=_HAM_SHORTLIST, n_planes=_HAM_PLANES, seed=_HAM_SEED,
+        round_to=4,
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN join: 3 query vectors x whole corpus, top-5 each —
     broadcast query side, vectors pruned before the per-query ranking
@@ -721,6 +805,52 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video decode: deterministic luma frames → real YUV4MPEG2
+    bytes (multimodal.encode_y4m) → real parser (multimodal.decode_y4m via
+    the mapInPandas decode stage) → stream stats.  The oracle computes the
+    same stats straight from the pixel formula ((id*31 + f*17 + p*97) %
+    256), so any encoder, header, frame-walk or stats bug breaks the
+    match."""
+    import pandas as pd
+
+    from tap_postgres_spark import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            def one(i: int) -> bytes:
+                w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+                nf = 2 + i % 3
+                return multimodal.encode_y4m(
+                    w, h, multimodal.synth_frames(i, w, h, nf)
+                )
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "mime": "video/x-yuv4mpeg",
+                    "data": pdf["doc_id"].map(lambda i: one(int(i))),
+                }
+            )
+
+    vid = docs.mapInPandas(
+        _mk, schema="media_id long, kind string, mime string, data binary"
+    )
+    dec = multimodal.decode_media(vid)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("n_samples").alias("n_frames"),
+        "duration_ms",
+        F.round("mean_sample", 6).alias("mean_luma"),
+        F.round("rms", 6).alias("rms_luma"),
     )
 
 
@@ -866,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest": q_lww_latest,
         "merge_apply": q_merge_apply,
         "lake_changelog": q_lake_changelog,
+        "bootstrap_handoff": q_bootstrap_handoff,
         "order_monitor": q_order_monitor,
         "bookmark_max": q_bookmark_max,
         "routing_counts": q_routing_counts,
@@ -897,11 +1028,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
         "knn_join": q_knn_join,
+        "ann_quantized": q_ann_quantized,
+        "ann_hamming": q_ann_hamming,
         "singer_records": q_singer_records,
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_video_decode": q_multimodal_video_decode,
         "sessionize": q_sessionize,
         "window_rollup": q_window_rollup,
         "repetition_stats": q_repetition_stats,
@@ -1099,6 +1233,27 @@ WHERE vec_id NOT IN (SELECT b FROM pairs)
 """
 
 
+def _ann_hamming_sql() -> str:
+    bits = _hplane_bits_sql(_HAM_PLANES, _HAM_SEED, "embedding::DOUBLE[]")
+    qbits = _hplane_bits_sql(
+        _HAM_PLANES, _HAM_SEED,
+        "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)",
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT ({qbits}) AS qsig),
+s AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bits} AS sig FROM embeddings),
+short AS (
+  SELECT s.vec_id, s.v,
+         bit_count(xor(s.sig, (SELECT qsig FROM qs))) AS hamming
+  FROM s ORDER BY hamming ASC, vec_id ASC LIMIT {_HAM_SHORTLIST}
+)
+SELECT vec_id, hamming,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS cos_sim
+FROM short ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _lsh_topk_sql() -> str:
     bits = _hplane_bits_sql(_TOPK_PLANES, _TOPK_SEED, "embedding::DOUBLE[]")
     qbits = _hplane_bits_sql(
@@ -1290,6 +1445,17 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                   FROM events) WHERE rn = 1 AND event_type <> 'error'
         """,
+        "bootstrap_handoff": """
+            WITH half AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS h FROM events),
+            last_all AS (SELECT user_id,
+                                max_by(value, event_id) AS value,
+                                max_by(event_type, event_id) AS last_type,
+                                max(event_id) AS last_id
+                         FROM events GROUP BY user_id)
+            SELECT user_id, value,
+                   greatest(last_id, (SELECT h FROM half)) AS _sdc_lsn
+            FROM last_all WHERE last_type <> 'error'
+        """,
         "bookmark_max": """
             SELECT event_type, max(event_id) AS max_event_id,
                    epoch_us(max(ts)) AS bookmark_us, count(*) AS n_events
@@ -1458,6 +1624,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
         "ivf_topk_trained": _ivf_trained_sql(),
+        "ann_quantized": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                  FROM v),
+            q AS (SELECT vec_id,
+                         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                              ELSE list_transform(v, x -> greatest(-127.0,
+                                     least(127.0, floor(x / scale + 0.5))))
+                         END AS qv
+                  FROM s),
+            qq AS (SELECT qv FROM q WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(qv, (SELECT qv FROM qq)), 6)
+                     AS cos_sim
+            FROM q ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_hamming": _ann_hamming_sql(),
         "knn_join": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),
@@ -1530,6 +1714,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN p % 3 = 1 THEN v END), 6) AS mean_g,
                    round(avg(CASE WHEN p % 3 = 2 THEN v END), 6) AS mean_b
             FROM px GROUP BY doc_id, w, h
+        """,
+        "multimodal_video_decode": """
+            WITH p AS (
+              SELECT doc_id, 8 + (doc_id % 4) * 4 AS w, 8 + (doc_id % 3) * 4 AS h,
+                     2 + doc_id % 3 AS nf
+              FROM documents
+            ),
+            px AS (
+              SELECT p.doc_id, p.w, p.h, p.nf,
+                     ((p.doc_id * 31 + f.f * 17 + pp.pp * 97) % 256)::DOUBLE AS v
+              FROM p, unnest(range(p.nf)) AS f(f),
+                      unnest(range(p.w * p.h)) AS pp(pp)
+            )
+            SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+                   nf AS n_frames, nf * 40 AS duration_ms,
+                   round(avg(v), 6) AS mean_luma,
+                   round(sqrt(avg(v * v)), 6) AS rms_luma
+            FROM px GROUP BY doc_id, w, h, nf
         """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value

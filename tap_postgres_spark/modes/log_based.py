@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from datetime import datetime, timezone
 from typing import Any
 
@@ -61,6 +62,13 @@ _GLOBAL_STATUSES = (
     STATUS_UNKNOWN_ACTION,
     STATUS_UNROUTABLE,
 )
+# statuses preserved in the dead-letter quarantine (txn markers and
+# truncates are protocol, not failures)
+_QUARANTINE_STATUSES = (
+    STATUS_MALFORMED,
+    STATUS_UNKNOWN_ACTION,
+    STATUS_UNROUTABLE,
+)
 from ..lake import LakeTable
 from ..schema import StreamDef, pg_type_to_spark
 from ..state import StateStore
@@ -89,6 +97,7 @@ class CdcPipeline:
         merge_mode: str = "mor",
         stream_maps: dict[str, dict] | None = None,
         full_compact_every: int = 8,
+        dead_letter_dir: str | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -107,6 +116,7 @@ class CdcPipeline:
         self.auto_compact_depth = auto_compact_depth
         self.merge_mode = merge_mode
         self.full_compact_every = max(1, int(full_compact_every))
+        self.dead_letter_dir = dead_letter_dir
         self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
@@ -249,6 +259,37 @@ class CdcPipeline:
                 for fqn in fqns
             ]
 
+            # dead-letter quarantine: raw payloads that could not be
+            # applied (malformed JSON, unknown action, unroutable FQN) are
+            # preserved for audit/replay instead of only counted — the
+            # production analog of the reference logging-and-skipping
+            # (wal_reader.py:262-297).  Gated on the observe() counters so
+            # a clean batch (the overwhelming case) pays ZERO extra work;
+            # a dirty batch pays one filtered re-scan.  Overwrite-per-epoch
+            # keeps crash replay idempotent.
+            dead_letter = None
+            if self.dead_letter_dir is not None:
+                n_bad = sum(
+                    int(metrics[f"status.{s}"]) for s in _QUARANTINE_STATUSES
+                )
+                if n_bad:
+                    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", epoch_id)
+                    dl_path = os.path.join(self.dead_letter_dir, f"epoch={safe}")
+                    (
+                        classified.filter(
+                            F.col("_status").isin(*_QUARANTINE_STATUSES)
+                        )
+                        .select(
+                            "lsn",
+                            "txid",
+                            "payload",
+                            F.col("_status").alias("reason"),
+                        )
+                        .write.mode("overwrite")
+                        .parquet(dl_path)
+                    )
+                    dead_letter = {"rows": n_bad, "path": dl_path}
+
             # schema evolution: trigger from the observed width, then the
             # exact (rare) discovery pass; the re-decoded correction batch
             # supersedes the just-written rows via the _sdc_gen tie-break
@@ -336,6 +377,7 @@ class CdcPipeline:
                 "max_lsn_seen": max_lsn_seen,
                 "metrics": metrics_rows,
                 "streams": results,
+                "dead_letter": dead_letter,
             }
         finally:
             if cache:

@@ -2,13 +2,14 @@
 
 The Spark-side architecture is fully real — schema, partition-friendly
 batch shapes, Arrow-batched ``mapInPandas`` UDF signatures, metadata
-extraction.  The decode registry ships four REAL codecs needing no
+extraction.  The decode registry ships five REAL codecs needing no
 external libraries: RIFF/WAV PCM audio, PPM (P6) and PNG (8-bit RGB via
-stdlib zlib, all five scanline filters) full decodes, and JPEG
+stdlib zlib, all five scanline filters) full decodes, YUV4MPEG2 (Y4M)
+raw video (header + frame walk + per-frame luma extraction), and JPEG
 dimension extraction (marker walk to SOF — no pure-Python entropy
 decode exists, so pixel stats stay NULL there; the honest partial).
-Kinds with no decoder at all (video containers) go through the
-deterministic stub and are marked ``decoded=False``.  Swap in
+Mimes with no decoder (compressed video containers like mp4) go through
+the deterministic stub and are marked ``decoded=False``.  Swap in
 PIL/libvips/ffmpeg without touching the Spark topology.
 
 Design for 100 TB of media:
@@ -267,6 +268,108 @@ def decode_png(data: bytes) -> dict:
     }
 
 
+def encode_y4m(
+    width: int, height: int, frames: Sequence[bytes], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """YUV4MPEG2 encoder, monochrome (``Cmono``) — a REAL, widely-supported
+    raw-video container (mpv/ffmpeg play it): plain-text stream header,
+    then ``FRAME\\n`` + width×height luma bytes per frame.  No entropy
+    coding, so a byte-exact pure-python codec is honest, not a toy."""
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(f"frame {i}: {len(f)} bytes != {width * height}")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    return head.encode("ascii") + b"".join(
+        b"FRAME\n" + bytes(f) for f in frames
+    )
+
+
+def decode_y4m(data: bytes) -> dict:
+    """Parse a YUV4MPEG2 (mono) payload: stream-header parameters, frame
+    walk with size verification, per-stream luma stats.
+
+    Raises ValueError on bad magic / missing W-H-F params / truncated
+    frames (per-row failure containment, same contract as decode_wav)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420jpeg"  # the spec default when C is absent
+    for tok in data[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            colorspace = tok[1:]
+    if not width or not height or fps_num <= 0 or fps_den <= 0:
+        raise ValueError("missing/invalid W/H/F stream parameters")
+    if colorspace == "mono":
+        frame_bytes = width * height
+    elif colorspace.startswith("420"):
+        frame_bytes = width * height * 3 // 2
+    elif colorspace == "422":
+        frame_bytes = width * height * 2
+    elif colorspace == "444":
+        frame_bytes = width * height * 3
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    luma = width * height
+    pos = nl + 1
+    n_frames = 0
+    s = 0
+    s2 = 0
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        body = data[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError(
+                f"truncated frame {n_frames}: {len(body)} < {frame_bytes} bytes"
+            )
+        for b in body[:luma]:
+            s += b
+            s2 += b * b
+        n_frames += 1
+        pos = fnl + 1 + frame_bytes
+    if n_frames == 0:
+        raise ValueError("no frames")
+    n = n_frames * luma
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "fps": (fps_num, fps_den),
+        "colorspace": colorspace,
+        "frame_bytes": frame_bytes,
+        # DECODE_SCHEMA mapping: n_samples = frames, duration from fps
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 * fps_den // fps_num,
+        "mean_sample": s / n,
+        "rms": math.sqrt(s2 / n),
+    }
+
+
+def iter_y4m_frames(data: bytes):
+    """Yield (frame_idx, luma_bytes) from a decoded-valid Y4M payload —
+    the real frame-extraction primitive behind sample_frames_y4m."""
+    meta = decode_y4m(data)  # validates; cheap second pass for the walk
+    luma = meta["width"] * meta["height"]
+    frame_bytes = meta["frame_bytes"]  # luma plane + any chroma planes
+    nl = data.find(b"\n")
+    pos = nl + 1
+    idx = 0
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        yield idx, data[fnl + 1 : fnl + 1 + frame_bytes][:luma]
+        idx += 1
+        pos = fnl + 1 + frame_bytes
+
+
 def encode_jpeg_header(width: int, height: int) -> bytes:
     """Header-only JPEG synthesizer (SOI + JFIF APP0 + SOF0 + EOI): a
     structurally valid marker stream carrying real dimensions but no scan
@@ -340,12 +443,27 @@ def synth_pixels(media_id: int, width: int, height: int) -> bytes:
     return bytes(((media_id * 31 + p * 97) % 256) for p in range(width * height * 3))
 
 
+def synth_frames(
+    media_id: int, width: int, height: int, n_frames: int
+) -> list[bytes]:
+    """Deterministic mono luma frames, SQL-replicable:
+    (id*31 + f*17 + p*97) % 256 per frame f, pixel position p."""
+    return [
+        bytes(
+            ((media_id * 31 + f * 17 + p * 97) % 256)
+            for p in range(width * height)
+        )
+        for f in range(n_frames)
+    ]
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table (no external data): audio rows carry REAL
     16-bit PCM WAV payloads; image rows cycle REAL P6 PPM, REAL PNG
-    (zlib-compressed, filter 0) and header-only JPEG payloads — all
-    built by the encoders above; video rows stay opaque seeded bytes (no
-    pure-Python container codec — honestly undecodable here)."""
+    (zlib-compressed, filter 0) and header-only JPEG payloads; video rows
+    alternate REAL YUV4MPEG2 streams (mono, multi-frame) with opaque
+    seeded mp4 bytes (no pure-Python mp4 codec — those stay honestly
+    undecodable and exercise the containment path)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -368,6 +486,12 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 mime = "image/jpeg"
                 payload = encode_jpeg_header(w, h)
             dur = None
+        elif (i // 3) % 2 == 0:
+            w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+            nf = 2 + i % 4
+            mime = "video/x-yuv4mpeg"
+            payload = encode_y4m(w, h, synth_frames(i, w, h, nf))
+            dur = nf * 1000 // 25
         else:
             mime = "video/mp4"
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
@@ -471,6 +595,7 @@ DECODERS = {
     "image/x-portable-pixmap": decode_ppm,
     "image/png": decode_png,
     "image/jpeg": decode_jpeg_header,
+    "video/x-yuv4mpeg": decode_y4m,
 }
 
 
@@ -545,4 +670,56 @@ def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", "meta_duration_ms", "data")
         .mapInPandas(_sample, _FRAME_SCHEMA)
+    )
+
+
+_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames_y4m(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling over Y4M video payloads (the decoded
+    counterpart of :func:`sample_frames`, which only does plumbing over
+    opaque containers): every ``every_n``-th frame yields its timestamp,
+    luma mean, and content hash.  Undecodable rows are contained — they
+    yield zero frames rather than failing the task.
+
+    Scale shape: one ``mapInPandas`` pass, rows fan out per sampled
+    frame; downstream dedup/similarity operates on the per-frame hashes
+    exactly like document fingerprints."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    field_names = [f.name for f in _FRAME_STATS_SCHEMA.fields]
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in field_names}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    meta = decode_y4m(bytes(data))
+                except (ValueError, struct.error):
+                    continue
+                num, den = meta["fps"]
+                for fi, luma in iter_y4m_frames(bytes(data)):
+                    if fi % every_n:
+                        continue
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame_ts_ms"].append(fi * 1000 * den // num)
+                    out["luma_mean"].append(sum(luma) / len(luma))
+                    out["frame_sha256"].append(hashlib.sha256(luma).hexdigest())
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return df.select("media_id", "data").mapInPandas(
+        _sample, _FRAME_STATS_SCHEMA
     )

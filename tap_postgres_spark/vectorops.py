@@ -638,3 +638,149 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select(q_id_col, id_col, "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) + binary-signature rerank — the two standard
+# production ANN compression paths.  Both are exactly SQL-oracle-able:
+# the quantized dot product is integer-exact in double, and the hamming
+# shortlist is an integer order.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max(|x|)/127``,
+    ``q_i = clamp(floor(x_i/scale + 0.5), -127, 127)`` → ``(id, scale,
+    qvec array<int>)`` — 4× smaller than float32, 8× than float64.
+
+    ``floor(x + 0.5)`` instead of ``round`` because the two engines'
+    ``round`` disagree on ties; ``floor`` is IEEE-identical everywhere.
+
+    Shape: two stacked projections so the SCALE column is
+    MATERIALIZED before the per-element lambda references it — inlining
+    ``array_max(...)`` into the lambda would re-reduce the vector per
+    element (the O(dim²) trap documented at pipelineops._bigrams).
+    Cosine over qvec needs no scale at all (scales cancel), so downstream
+    similarity is pure integer arithmetic.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    scaled = v.select(
+        id_col,
+        "_v",
+        (F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    quantize = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / F.col("scale") + F.lit(0.5))),
+        ).cast("int"),
+    )
+    zeros = F.transform(F.col("_v"), lambda x: F.lit(0))
+    return scaled.select(
+        id_col,
+        "scale",
+        F.when(F.col("scale") == 0, zeros).otherwise(quantize).alias("qvec"),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine over int8-QUANTIZED vectors (SQ8 ANN): the
+    scan moves 1 byte/component instead of 4, and because cosine is
+    scale-invariant the per-vector scales cancel — scoring is integer
+    dot products (exact in double, so Spark and any SQL oracle agree
+    bit-for-bit, unlike float32 cosine).
+
+    The query is quantized driver-side with the IDENTICAL formula
+    (python floats are IEEE doubles; max/floor/clamp are order-free).
+    """
+    mx = max(abs(float(x)) for x in query_vec)
+    if mx == 0:
+        q_quant = [0.0] * len(query_vec)
+    else:
+        scale = mx / 127.0
+        q_quant = [
+            float(max(-127.0, min(127.0, math.floor(float(x) / scale + 0.5))))
+            for x in query_vec
+        ]
+    qdf = quantize_int8(df, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(
+        qdf, q_quant, k, id_col=id_col, vec_col="qvec", round_to=round_to
+    )
+
+
+def hamming_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    shortlist: int = 64,
+    n_planes: int = 24,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary-signature ANN with exact rerank: shortlist by hamming
+    distance between hyperplane sign signatures (``bit_count(sig XOR
+    qsig)`` — pure integer ops over one long per vector), then exact
+    cosine only over the ``shortlist`` survivors.
+
+    Scale shape: signatures ride the scan (whole-stage codegen); the
+    shortlist is a ``TakeOrderedAndProject`` on ``(hamming, id)`` — no
+    shuffle of vectors beyond the ≤``shortlist`` candidate rows — and
+    the rerank touches ``shortlist`` rows, not the corpus.  Recall is
+    tunable via ``n_planes``/``shortlist``; deterministic end-to-end
+    (integer shortlist order, rounded-cosine + id rerank order).
+    """
+    dim = len(query_vec)
+    planes = make_planes(dim, n_planes, seed)
+    # query signature in pure Python — same sequential fold as the
+    # codegen'd aggregate (see lsh_bucket_topk)
+    qbits = 0
+    for i, p in enumerate(planes):
+        dot = 0.0
+        for x, y in zip(query_vec, p):
+            dot += float(x) * float(y)
+        if dot >= 0:
+            qbits += 1 << i
+    q = F.lit([float(v) for v in query_vec])
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bits_sql(vec_col, planes).alias("_sig"),
+    )
+    short = (
+        sigs.withColumn(
+            "hamming", F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qbits)))
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            id_col,
+            "hamming",
+            F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

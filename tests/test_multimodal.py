@@ -78,7 +78,9 @@ def test_decode_media_real_and_contained_failures(spark):
                 assert r["mean_g"] is None
             else:
                 assert 0 <= r["mean_g"] <= 255
-        else:  # video: honestly undecodable here, contained not fatal
+        elif r["mime"] == "video/x-yuv4mpeg":  # real Y4M decode
+            assert r["decoded"] and r["width"] > 0 and r["n_samples"] >= 2
+        else:  # mp4: honestly undecodable here, contained not fatal
             assert not r["decoded"] and "no decoder" in r["err"]
 
     # corrupt payload: contained per-row failure, not a task error
@@ -196,3 +198,71 @@ def test_decode_media_null_payload_contained(spark):
     )
     r = multimodal.decode_media(df).collect()[0]
     assert not r["decoded"] and r["err"] == "no payload"
+
+
+# --- Y4M (YUV4MPEG2) real video codec ---------------------------------------
+def test_y4m_roundtrip_exact_stats():
+    w, h, nf = 12, 8, 3
+    frames = multimodal.synth_frames(5, w, h, nf)
+    data = multimodal.encode_y4m(w, h, frames, fps=(25, 1))
+    got = multimodal.decode_y4m(data)
+    assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
+    assert got["fps"] == (25, 1) and got["colorspace"] == "mono"
+    assert got["duration_ms"] == nf * 1000 // 25
+    flat = [b for f in frames for b in f]
+    assert abs(got["mean_sample"] - sum(flat) / len(flat)) < 1e-12
+    import math
+
+    assert abs(got["rms"] - math.sqrt(sum(b * b for b in flat) / len(flat))) < 1e-12
+
+
+def test_y4m_rejects_bad_payloads():
+    import pytest
+
+    w, h = 8, 8
+    data = multimodal.encode_y4m(w, h, multimodal.synth_frames(1, w, h, 2))
+    with pytest.raises(ValueError, match="truncated frame"):
+        multimodal.decode_y4m(data[:-5])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal.decode_y4m(b"RIFF" + data)
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        multimodal.decode_y4m(data.replace(b"FRAME\n", b"FRAMD\n", 1) )
+    with pytest.raises(ValueError, match="missing/invalid"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W8 F25:1\nFRAME\n" + b"\x00" * 64)
+
+
+def test_decode_media_dispatches_y4m_and_contains_mp4(spark):
+    media = multimodal.synthesize_media(spark, n=24)
+    dec = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    vids = [r for r in dec.values() if r["kind"] == "video"]
+    assert any(r["mime"] == "video/x-yuv4mpeg" for r in vids)
+    assert any(r["mime"] == "video/mp4" for r in vids)
+    for r in vids:
+        if r["mime"] == "video/x-yuv4mpeg":
+            assert r["decoded"] and r["width"] and r["n_samples"] >= 2
+        else:
+            assert not r["decoded"] and "no decoder" in r["err"]
+
+
+def test_sample_frames_y4m_real_stats(spark):
+    media = multimodal.synthesize_media(spark, n=24)
+    got = {}
+    for r in multimodal.sample_frames_y4m(
+        media.filter(F.col("kind") == "video"), every_n=2
+    ).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    # only the y4m rows yield frames; mp4 rows are contained (zero rows)
+    y4m_ids = {
+        r["media_id"]
+        for r in media.filter(F.col("mime") == "video/x-yuv4mpeg").collect()
+    }
+    assert set(got) == y4m_ids
+    for mid, rows in got.items():
+        w, h = 8 + (mid % 4) * 4, 8 + (mid % 3) * 4
+        nf = 2 + mid % 4
+        idxs = [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+        assert idxs == list(range(0, nf, 2))
+        for r in rows:
+            luma = multimodal.synth_frames(mid, w, h, nf)[r["frame_idx"]]
+            assert abs(r["luma_mean"] - sum(luma) / len(luma)) < 1e-12
+            assert r["frame_ts_ms"] == r["frame_idx"] * 1000 // 25

@@ -286,3 +286,51 @@ def test_knn_join_plan_broadcast_no_corpus_shuffle(spark, emb):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, emb):
+    q = vectorops.quantize_int8(emb)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for vid, r in rows.items():
+        v = [float(x) for x in orig[vid]]
+        mx = max(abs(x) for x in v)
+        assert abs(r["scale"] - mx / 127.0) < 1e-12
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        # dequantization error per component <= scale/2 (+ half-ulp)
+        for x, qi in zip(v, r["qvec"]):
+            assert abs(x - qi * r["scale"]) <= r["scale"] / 2 + 1e-9
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in vectorops.quantize_int8(df).collect()}
+    assert got[0]["qvec"] == [0, 0, 0] and got[0]["scale"] == 0.0
+    assert got[1]["qvec"] == [64, -127, 32]  # floor(x/(2/127)+0.5)
+
+
+def test_quantized_topk_close_to_exact(spark, emb, emb_np):
+    """SQ8 cosine must put the true nearest neighbours at the top: the
+    top-3 exact ids appear in the quantized top-10."""
+    ids, mat = emb_np
+    qv = mat[list(ids).index(0)]
+    exact = [i for i, _ in _np_topk(ids, mat, qv, 3)]
+    got = [r["vec_id"] for r in vectorops.quantized_topk(emb, list(qv), k=10).collect()]
+    assert set(exact) <= set(got)
+
+
+def test_hamming_rerank_topk_recall_and_determinism(spark, emb, emb_np):
+    ids, mat = emb_np
+    qv = mat[list(ids).index(0)]
+    r1 = vectorops.hamming_rerank_topk(emb, list(qv), k=10).collect()
+    r2 = vectorops.hamming_rerank_topk(emb, list(qv), k=10).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    # the query itself is its own nearest neighbour: hamming 0, cos 1.0
+    assert r1[0]["vec_id"] == 0 and r1[0]["hamming"] == 0
+    assert abs(r1[0]["cos_sim"] - 1.0) < 1e-9
+    # shortlist survivors are reranked by exact cosine: scores descend
+    scores = [r["cos_sim"] for r in r1]
+    assert scores == sorted(scores, reverse=True)
