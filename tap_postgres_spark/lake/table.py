@@ -42,6 +42,7 @@ import os
 import tempfile
 import uuid
 from collections.abc import Sequence
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,6 +166,11 @@ class LakeTable:
     def _write_metadata(self, meta: dict[str, Any]) -> None:
         mdir = os.path.join(self.path, "metadata")
         os.makedirs(mdir, exist_ok=True)
+        # commit wall-clock, for timestamp time travel (read(as_of=...)).
+        # Stamped here unconditionally: callers inherit the parent's
+        # metadata dict, and a carried-over parent stamp would make two
+        # versions share one commit time.
+        meta["committed_at"] = datetime.now(timezone.utc).isoformat()
         vpath = os.path.join(mdir, f"v{meta['version']:08d}.json")
         with open(vpath, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
@@ -277,12 +283,31 @@ class LakeTable:
         # lack the new columns → NULL-filled, exactly Iceberg's behavior.
         return self.spark.read.schema(read_schema).parquet(*files)
 
+    def version_as_of(self, ts: datetime | str) -> int:
+        """Largest version committed at or before ``ts`` (Iceberg
+        timestamp time-travel resolution).  ``ts`` may be a datetime or
+        an ISO-8601 string; naive datetimes are taken as UTC.  Raises if
+        the timestamp precedes the table's creation."""
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best = None
+        for v in range(1, self.current_version() + 1):
+            at = self.metadata(v).get("committed_at")
+            if at is not None and datetime.fromisoformat(at) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no version committed at or before {ts.isoformat()}")
+        return best
+
     def read(
         self,
         version: int | None = None,
         *,
         buckets: Sequence[int] | None = None,
         include_tombstones: bool = False,
+        as_of: datetime | str | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -290,7 +315,13 @@ class LakeTable:
         files, then tombstones dropped.  With ``buckets`` given, only
         those buckets' files are scanned (bucket pruning — pair with
         :meth:`buckets_for_keys` for key-predicate point reads).
+        Time travel: by ``version`` number, or by commit timestamp with
+        ``as_of`` (resolved via :meth:`version_as_of`).
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of, not both")
+            version = self.version_as_of(as_of)
         meta = self.metadata(version)
         schema = T.StructType.fromJson(meta["schema"])
         bmap = self.buckets_map(meta["version"])

@@ -225,3 +225,31 @@ def _read_state(t):
         (r["repo"], r["path"]): (r["content"], r["_sdc_lsn"])
         for r in t.read().collect()
     }
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    t = LakeTable.create(spark, str(tmp_path / "tt"), SCHEMA, ["repo", "path"], 4)
+    t.merge_into(_batch(spark, [("r", "p1", "v1", 100)]), epoch_id="e1")
+    between = datetime.now(timezone.utc)
+    t.merge_into(_batch(spark, [("r", "p1", "v2", 200)]), epoch_id="e2")
+
+    v_at = t.version_as_of(between)
+    assert _read_state(LakeTable(spark, t.path)) == {("r", "p1"): ("v2", 200)}
+    assert {
+        (r["repo"], r["path"]): (r["content"], r["_sdc_lsn"])
+        for r in t.read(as_of=between).collect()
+    } == {("r", "p1"): ("v1", 100)}
+    # ISO-string form and version equivalence
+    assert t.read(as_of=between.isoformat()).collect() == t.read(version=v_at).collect()
+    # before table creation → error; version+as_of together → error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no version committed"):
+        t.version_as_of(datetime(2000, 1, 1, tzinfo=timezone.utc))
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of=between)
+    # every version carries its own commit stamp (no inherited parent stamp)
+    stamps = [t.metadata(v)["committed_at"] for v in range(1, t.current_version() + 1)]
+    assert len(set(stamps)) == len(stamps)
