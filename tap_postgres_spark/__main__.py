@@ -1,0 +1,248 @@
+"""Singer-style CLI: ``python -m tap_postgres_spark``.
+
+The reference's user surface is the Singer tap contract
+(/root/reference/tap_postgres/tap.py:1-60 + README):
+
+    tap-postgres --config config.json --discover > catalog.json
+    tap-postgres --config config.json --catalog catalog.json \
+                 --state state.json
+
+This module re-creates that surface over the Spark engine: discovery
+emits a Singer catalog document, sync emits SCHEMA/RECORD/STATE message
+lines to stdout for FULL_TABLE / INCREMENTAL streams and runs the
+WAL-feed replay pipeline for LOG_BASED streams.  State is the Singer
+bookmark document (``{"bookmarks": {...}}`` — byte-compatible with
+:class:`~tap_postgres_spark.state.StateStore`).
+
+Config keys (JSON file passed via --config):
+
+- ``source_dir``        parquet dataset dir (one ``<table>.parquet`` each)
+- ``filter_tables``     optional table whitelist (client.py:180-193 analog)
+- ``key_properties``    {table: [cols]} primary keys
+- ``replication``       {table: {"method": ..., "key": ...}}
+- ``wal_feed_dir`` / ``lake_dir`` / ``checkpoint_dir``  LOG_BASED replay dirs
+- ``spark``             {"master": "local[8]", "shuffle_partitions": N}
+
+Stdout carries ONLY Singer messages (one JSON per line); diagnostics go
+to stderr — the Singer pipe contract a downstream target depends on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from . import singer
+from .catalog import apply_overrides, discover_parquet_dir
+from .lake import LakeTable
+from .modes.full_table import full_table_scan
+from .modes.incremental import commit_bookmark, incremental_scan
+from .modes.log_based import CdcPipeline
+from .schema import StreamDef, widen_for_cdc
+from .state import StateStore
+
+
+def catalog_dict(streams: list[StreamDef]) -> dict[str, Any]:
+    """Singer catalog document (tap.py ``catalog_dict`` analog): one entry
+    per stream with JSON-schema and stream-level metadata."""
+    entries = []
+    for s in streams:
+        schema_msg = singer.schema_message(s)
+        entries.append(
+            {
+                "tap_stream_id": s.fqn,
+                "stream": s.table_name,
+                "schema": schema_msg["schema"],
+                "key_properties": list(s.key_properties),
+                "metadata": [
+                    {
+                        "breadcrumb": [],
+                        "metadata": {
+                            "selected": True,
+                            "schema-name": s.schema_name,
+                            "replication-method": s.replication_method,
+                            "replication-key": s.replication_key,
+                        },
+                    }
+                ],
+            }
+        )
+    return {"streams": entries}
+
+
+def select_streams(
+    streams: list[StreamDef], catalog: dict[str, Any]
+) -> list[StreamDef]:
+    """Apply a user catalog to discovered streams: drop unselected
+    entries, honor replication-method/key/key_properties overrides
+    (the reference's input-catalog precedence, tap.py:675-676)."""
+    by_fqn = {}
+    for e in catalog.get("streams", []):
+        md = {}
+        for m in e.get("metadata", []):
+            if not m.get("breadcrumb"):
+                md = m.get("metadata", {})
+        by_fqn[e["tap_stream_id"]] = (e, md)
+    out = []
+    overrides: dict[str, dict[str, Any]] = {}
+    for s in streams:
+        got = by_fqn.get(s.fqn)
+        if got is None:
+            continue  # not in catalog → not selected
+        e, md = got
+        if not md.get("selected", True):
+            continue
+        o: dict[str, Any] = {}
+        if md.get("replication-method"):
+            o["replication_method"] = md["replication-method"]
+        if md.get("replication-key"):
+            o["replication_key"] = md["replication-key"]
+        if e.get("key_properties"):
+            o["key_properties"] = tuple(e["key_properties"])
+        overrides[s.fqn] = o
+        out.append(s)
+    return apply_overrides(out, overrides)
+
+
+def _spark(config: dict[str, Any]) -> SparkSession:
+    sconf = config.get("spark", {})
+    b = (
+        SparkSession.builder.appName("tap-postgres-spark")
+        .master(sconf.get("master", "local[8]"))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(sconf.get("shuffle_partitions", 8)),
+        )
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()
+
+
+def _discover(spark: SparkSession, config: dict[str, Any]) -> list[StreamDef]:
+    return discover_parquet_dir(
+        spark,
+        config["source_dir"],
+        filter_tables=config.get("filter_tables"),
+        key_properties=config.get("key_properties"),
+        replication=config.get("replication"),
+    )
+
+
+def _sync_log_based(
+    spark: SparkSession,
+    stream: StreamDef,
+    config: dict[str, Any],
+    state: StateStore,
+    out,
+) -> dict[str, Any]:
+    """LOG_BASED sync = the flagship replay: available feed files →
+    CdcPipeline → lake table; a STATE message carries the bookmarks."""
+    from .streaming import StreamingCdcRunner
+
+    lake_path = f"{config['lake_dir']}/{stream.table_name}"
+    if LakeTable.exists(lake_path):
+        table = LakeTable(spark, lake_path)
+    else:
+        table = LakeTable.create(
+            spark,
+            lake_path,
+            widen_for_cdc(stream.spark_schema),
+            list(stream.key_properties),
+            num_buckets=int(config.get("num_buckets", 32)),
+        )
+    pipeline = CdcPipeline(
+        spark,
+        [stream],
+        {stream.fqn: config.get("pg_types", {}).get(stream.table_name, {})},
+        {stream.fqn: table},
+        state,
+        metrics_dir=f"{lake_path}/_metrics",
+        dead_letter_dir=config.get("dead_letter_dir"),
+    )
+    runner = StreamingCdcRunner(
+        pipeline,
+        config["wal_feed_dir"],
+        f"{config['checkpoint_dir']}/{stream.table_name}",
+        max_files_per_trigger=int(config.get("max_files_per_trigger", 32)),
+    )
+    results = runner.run_available_now()
+    out.write(json.dumps(singer.state_message(state)) + "\n")
+    applied = sum(
+        m["n"] for r in results for m in r["metrics"] if m["_status"] == "ok"
+    )
+    return {"batches": len(results), "events_applied": applied,
+            "table_version": table.current_version()}
+
+
+def sync(
+    spark: SparkSession,
+    streams: list[StreamDef],
+    config: dict[str, Any],
+    state: StateStore,
+    out=sys.stdout,
+) -> dict[str, Any]:
+    summary: dict[str, Any] = {}
+    for s in streams:
+        if s.replication_method == "LOG_BASED":
+            summary[s.fqn] = _sync_log_based(spark, s, config, state, out)
+            continue
+        source = spark.read.parquet(
+            f"{config['source_dir']}/{s.table_name}.parquet"
+        )
+        if s.replication_method == "INCREMENTAL":
+            df = incremental_scan(
+                source, s, state, start_value=config.get("start_date")
+            )
+            n = singer.emit_stream(df, s, out)
+            commit_bookmark(df, s, state)
+            out.write(json.dumps(singer.state_message(state)) + "\n")
+        else:  # FULL_TABLE
+            df = full_table_scan(source, s)
+            n = singer.emit_stream(df, s, out)
+        summary[s.fqn] = {"records": n}
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m tap_postgres_spark")
+    p.add_argument("--config", required=True)
+    p.add_argument("--catalog")
+    p.add_argument("--state")
+    p.add_argument("--discover", action="store_true")
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        config = json.load(f)
+    spark = _spark(config)
+    try:
+        streams = _discover(spark, config)
+        if args.discover:
+            json.dump(catalog_dict(streams), sys.stdout, indent=2)
+            sys.stdout.write("\n")
+            return 0
+        if args.catalog:
+            with open(args.catalog) as f:
+                streams = select_streams(streams, json.load(f))
+        if args.state:
+            state_path = args.state
+        else:
+            # no --state: run stateless (reference behavior) — bookmarks
+            # still stream to stdout as STATE messages; the backing file
+            # is a throwaway temp
+            import tempfile
+
+            state_path = tempfile.mktemp(prefix="tap-postgres-spark-", suffix=".state.json")
+        state = StateStore(state_path)
+        summary = sync(spark, streams, config, state)
+        print(json.dumps({"summary": summary}), file=sys.stderr)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
