@@ -178,6 +178,24 @@ def _sync_log_based(
             "table_version": table.current_version()}
 
 
+def _mapped(df, smap, config, stream: StreamDef):
+    """Apply a config stream map (filter / drop / computed columns) to the
+    outgoing records — the SDK applies maps to every RECORD before
+    emission (reference README.md:13,51-53).  Returns (mapped_df,
+    stream-with-mapped-schema) so the SCHEMA message matches the RECORD
+    shape."""
+    if not smap:
+        return df, stream
+    from dataclasses import replace
+
+    from . import stream_maps
+
+    mapped = stream_maps.apply_stream_map(
+        df, smap, config=config.get("stream_map_config", {})
+    )
+    return mapped, replace(stream, spark_schema=mapped.schema)
+
+
 def sync(
     spark: SparkSession,
     streams: list[StreamDef],
@@ -193,16 +211,19 @@ def sync(
         source = spark.read.parquet(
             f"{config['source_dir']}/{s.table_name}.parquet"
         )
+        smap = config.get("stream_maps", {}).get(s.table_name)
         if s.replication_method == "INCREMENTAL":
             df = incremental_scan(
                 source, s, state, start_value=config.get("start_date")
             )
-            n = singer.emit_stream(df, s, out)
+            mdf, ms = _mapped(df, smap, config, s)
+            n = singer.emit_stream(mdf, ms, out)
             commit_bookmark(df, s, state)
             out.write(json.dumps(singer.state_message(state)) + "\n")
         else:  # FULL_TABLE
             df = full_table_scan(source, s)
-            n = singer.emit_stream(df, s, out)
+            mdf, ms = _mapped(df, smap, config, s)
+            n = singer.emit_stream(mdf, ms, out)
         summary[s.fqn] = {"records": n}
     return summary
 

@@ -129,3 +129,26 @@ def test_cli_discover_subprocess(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     cat = json.loads(r.stdout)
     assert {e["stream"] for e in cat["streams"]} == {"region", "nation"}
+
+
+def test_sync_applies_stream_maps(spark, tmp_path):
+    streams = discover_parquet_dir(
+        spark, SF, filter_tables=["region"],
+        key_properties={"region": ["r_regionkey"]},
+    )
+    state = StateStore(str(tmp_path / "state.json"))
+    out = io.StringIO()
+    config = {
+        "source_dir": SF,
+        "stream_maps": {"region": {"r_comment": None,
+                                   "key2": "r_regionkey * 10"}},
+    }
+    sync(spark, streams, config, state, out=out)
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    schema = [l for l in lines if l["type"] == "SCHEMA"][0]
+    rec = [l for l in lines if l["type"] == "RECORD"][0]
+    # dropped column gone from BOTH schema and records; computed col present
+    assert "r_comment" not in schema["schema"]["properties"]
+    assert "key2" in schema["schema"]["properties"]
+    assert rec["record"]["key2"] == rec["record"]["r_regionkey"] * 10
+    assert "r_comment" not in rec["record"]
