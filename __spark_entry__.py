@@ -867,6 +867,25 @@ _CHUNK_TOKENS = 32
 _CHUNK_OVERLAP = 8
 
 
+_DECON_K = 8
+_DECON_BENCH_MOD = 50  # every 50th doc plays the "benchmark" set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-token shingle with
+    the benchmark subset (doc_id % 50 == 0), with distinct-overlap
+    counts — the GPT-3/PaLM n-gram collision rule."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    return pipelineops.decontaminate(docs, bench, shingle_k=_DECON_K)
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document (perplexity-proxy quality
+    signal)."""
+    return pipelineops.token_entropy(_docs(spark, sf_dir))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (4 h gap)."""
     return pipelineops.sessionize(_events(spark, sf_dir), gap_s=_SESSION_GAP_S)
@@ -1037,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_video_decode": q_multimodal_video_decode,
         "sessionize": q_sessionize,
+        "decontaminate": q_decontaminate,
+        "token_entropy": q_token_entropy,
         "window_rollup": q_window_rollup,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1230,6 +1251,34 @@ over_drop AS (
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT b FROM pairs)
   AND vec_id NOT IN (SELECT vec_id FROM over_drop)
+"""
+
+
+def _decontaminate_sql() -> str:
+    """8-token shingles on both sides (corpus = documents, benchmark =
+    doc_id % mod == 0), 60-bit digests, distinct-overlap count per doc —
+    replicates pipelineops.decontaminate incl. the whole-text fallback
+    for docs shorter than k tokens."""
+    k = _DECON_K
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    cte = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, {shingle} AS sh
+  FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+  WHERE len(t) >= {k}
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < {k}
+),
+hashed AS (SELECT DISTINCT doc_id, {_H60.format(expr='sh')} AS h FROM sh0)
+"""
+    return f"""
+WITH {cte}
+SELECT c.doc_id, count(*) AS n_contaminated_shingles
+FROM hashed c
+JOIN (SELECT DISTINCT h FROM hashed WHERE doc_id % {_DECON_BENCH_MOD} = 0) b
+  ON c.h = b.h
+GROUP BY c.doc_id
 """
 
 
@@ -1732,6 +1781,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(v), 6) AS mean_luma,
                    round(sqrt(avg(v * v)), 6) AS rms_luma
             FROM px GROUP BY doc_id, w, h, nf
+        """,
+        "decontaminate": _decontaminate_sql(),
+        "token_entropy": """
+            WITH tf AS (
+              SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id, unnest(list_filter(
+                        string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                        AS t
+                    FROM documents)
+              GROUP BY doc_id, t
+            )
+            SELECT doc_id, sum(c) AS n_tokens,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+                     AS token_entropy
+            FROM tf GROUP BY doc_id
         """,
         "sessionize": f"""
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value

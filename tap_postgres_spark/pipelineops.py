@@ -403,3 +403,64 @@ def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + token entropy
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    shingle_k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data decontamination against an eval benchmark: corpus
+    docs sharing at least one ``shingle_k``-token shingle with any
+    benchmark document, with the distinct-overlap count — the standard
+    n-gram-collision rule (GPT-3 appendix C / PaLM-style 8-gram overlap).
+
+    Scale shape: both sides reduce shingles to 60-bit digests (never
+    shuffle shingle STRINGS); the benchmark side is an eval suite — MBs,
+    not TBs — so it broadcasts and the corpus never shuffles at all:
+    digest → broadcast-hash semi-join → per-doc count, one pass over the
+    corpus shingle stream.
+    """
+    from .textops import _exploded_shingles
+
+    corpus = (
+        _exploded_shingles(docs, text_col, id_col, shingle_k)
+        .select(id_col, md5_60bit(F.col("sh")).alias("_h"))
+        .distinct()
+    )
+    bench = (
+        _exploded_shingles(benchmark, text_col, id_col, shingle_k)
+        .select(md5_60bit(F.col("sh")).alias("_h"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+    )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram token entropy per document in nats (a perplexity proxy for
+    quality filtering: near-zero = repetitive spam, high = diverse text).
+
+    H = ln(n) − (Σ c·ln c)/n over per-term counts c — computed as one
+    explode + two stacked aggregations keyed by a ``doc_id`` prefix, so
+    partial aggregation absorbs the explode fan-out map-side.
+    """
+    terms = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
+    tf = terms.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("token_entropy"),
+    )

@@ -225,3 +225,50 @@ class TestStratifiedSample:
         # monotone: a larger pct strictly contains the smaller sample
         c = {r.doc_id for r in pipelineops.stratified_sample(docs, pct=20).collect()}
         assert a <= c
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),            # benchmark member
+            (1, "x a b c d e f g h z"),            # shares the 8-gram a..h
+            (2, "totally different words only here there now"),  # clean
+            (3, "a b c d e f g h i j"),            # exact dup of benchmark
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    got = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in pipelineops.decontaminate(docs, bench, shingle_k=8).collect()
+    }
+    assert 2 not in got                       # clean doc absent
+    assert got[0] == 3 and got[3] == 3        # all 3 8-grams collide
+    assert got[1] == 1                        # one shared 8-gram
+
+
+def test_decontaminate_short_doc_whole_text_fallback(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc"), (2, "other")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in pipelineops.decontaminate(
+            docs, docs.filter("doc_id = 0"), shingle_k=8
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1}
+
+
+def test_token_entropy_bounds(spark):
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam"), (1, "one two three four")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pipelineops.token_entropy(docs).collect()}
+    assert got[0]["token_entropy"] == 0.0          # zero diversity
+    import math
+
+    assert abs(got[1]["token_entropy"] - math.log(4)) < 1e-6  # uniform max
+    assert got[0]["n_tokens"] == got[1]["n_tokens"] == 4
