@@ -867,6 +867,22 @@ _CHUNK_TOKENS = 32
 _CHUNK_OVERLAP = 8
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → dedup groups: connected components (min-label propagation)
+    over the MinHash-LSH near-dup pairs."""
+    pairs = textops.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        shingle_k=_SH_K, max_bucket_size=_MH_MAX_BUCKET,
+    )
+    return pipelineops.neardup_clusters(pairs)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per-language concat-then-split shard
+    assignment at a 256-token budget."""
+    return pipelineops.pack_sequences(_docs(spark, sf_dir), budget_tokens=256)
+
+
 _DECON_K = 8
 _DECON_BENCH_MOD = 50  # every 50th doc plays the "benchmark" set
 
@@ -1058,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "decontaminate": q_decontaminate,
         "token_entropy": q_token_entropy,
+        "neardup_clusters": q_neardup_clusters,
+        "pack_sequences": q_pack_sequences,
         "window_rollup": q_window_rollup,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1783,6 +1801,35 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY doc_id, w, h, nf
         """,
         "decontaminate": _decontaminate_sql(),
+        "neardup_clusters": f"""
+            WITH pairs AS ({_minhash_pairs_sql()}),
+            edges AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+              WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+              ) SELECT * FROM r
+            )
+            SELECT src AS id, least(min(dst), src) AS cluster_id
+            FROM reach GROUP BY src
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+              FROM documents
+            ),
+            c AS (SELECT *, sum(n_tokens) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM d)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS shard_seq
+            FROM c
+        """,
         "token_entropy": """
             WITH tf AS (
               SELECT doc_id, t, count(*) AS c

@@ -464,3 +464,113 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("token_entropy"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 256,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-shard sequence packing, GPT-style: documents are
+    concatenated in deterministic ``id`` order within each ``group_col``
+    partition and split at ``budget_tokens`` boundaries — a document's
+    shard is the boundary interval its FIRST token falls in (so shards
+    are contiguous runs; a doc may straddle into the next boundary, the
+    concat-then-split semantics of fixed-context pretraining).
+
+    Scale shape: the running token sum is a window partitioned by
+    ``group_col`` — parallel across groups, never a global single-
+    partition sort.  Groups are the natural shard affinity (language
+    here); at 10^10 docs add a hash-salt subgroup to the partition key
+    to bound any one group's serial window.
+    """
+    n = F.size(tokens(F.col(text_col))).alias("n_tokens")
+    d = docs.select(id_col, group_col, n)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(budget_tokens)))
+        .cast("long")
+        .alias("shard_seq"),
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: cluster id =
+    min doc id reachable through the pair graph (the step after LSH pair
+    generation that turns pairwise matches into dedup groups).
+
+    Iterative min-label propagation: each round joins labels to the
+    (undirected) edge list and folds ``min`` — O(graph diameter) rounds,
+    each one shuffle-join + one map-side-combined aggregate, the classic
+    scale-out CC shape (near-dup clusters are shallow: diameter is small
+    because members all match the same content).  Driver-side work per
+    round is ONE scalar (the convergence count); labels/edges never
+    collect.  Converged when no label changes; raises if ``max_iter``
+    rounds don't converge (pathological chain — raise the cap).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        # persisted: every propagation round joins the edge list — without
+        # this the upstream pair pipeline (LSH banding etc.) re-executes
+        # per round (measured 16.7s → 3s at sf0.01)
+        .persist()
+    )
+    # localCheckpoint per round TRUNCATES the logical plan: without it the
+    # round-N plan nests all N-1 predecessors and Catalyst analysis time
+    # grows superlinearly (the classic iterative-algorithm lineage
+    # explosion — a 12-round chain graph ran >10 min unconverged).  On a
+    # real cluster swap for reliable checkpoint(dir) to survive executor
+    # loss mid-iteration.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_cluster = F.least(
+            F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+        )
+        # the changed flag rides the same checkpointed pass, so the
+        # convergence probe is an aggregate over cached rows, not a
+        # second join
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                new_cluster.alias("new_cid"),
+                (new_cluster != F.col("cluster_id")).cast("int").alias("_chg"),
+            )
+            .withColumnRenamed("new_cid", "cluster_id")
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(f"neardup_clusters: no convergence in {max_iter} rounds")

@@ -272,3 +272,37 @@ def test_token_entropy_bounds(spark):
 
     assert abs(got[1]["token_entropy"] - math.log(4)) < 1e-6  # uniform max
     assert got[0]["n_tokens"] == got[1]["n_tokens"] == 4
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singletons absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in pipelineops.neardup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    # worst case: a 12-node path graph — needs ~diameter rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    got = pipelineops.neardup_clusters(pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == 13
+
+
+def test_pack_sequences_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(i, "g", "w " * 10) for i in range(10)],  # 10 tokens each
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["shard_seq"]
+        for r in pipelineops.pack_sequences(docs, budget_tokens=25).collect()
+    }
+    # cumsum starts: 0,10,20,30,... → shards 0,0,0,1,1,2,2,(70)2,3,3
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
