@@ -525,13 +525,15 @@ def neardup_clusters(
     collect.  Converged when no label changes; raises if ``max_iter``
     rounds don't converge (pathological chain — raise the cap).
     """
+    # cache the pair list FIRST: the undirected union scans it twice, and
+    # without the cache each scan re-executes the upstream pair pipeline
+    # (LSH banding etc.) — as does every propagation round without the
+    # edge cache (measured 16.7s → ~3s at sf0.01)
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(p.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        # persisted: every propagation round joins the edge list — without
-        # this the upstream pair pipeline (LSH banding etc.) re-executes
-        # per round (measured 16.7s → 3s at sf0.01)
         .persist()
     )
     # localCheckpoint per round TRUNCATES the logical plan: without it the
@@ -544,8 +546,9 @@ def neardup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint()  # materializes the edge cache as a side effect
     )
+    p.unpersist()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
