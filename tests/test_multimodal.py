@@ -266,3 +266,33 @@ def test_sample_frames_y4m_real_stats(spark):
             luma = multimodal.synth_frames(mid, w, h, nf)[r["frame_idx"]]
             assert abs(r["luma_mean"] - sum(luma) / len(luma)) < 1e-12
             assert r["frame_ts_ms"] == r["frame_idx"] * 1000 // 25
+
+
+def test_decoders_contain_arbitrary_bytes():
+    """Fuzz containment: every registered decoder either returns a dict or
+    raises ValueError/struct.error — never any other exception (one corrupt
+    payload must not kill a 100-TB decode stage)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid_prefixes = [
+        b"RIFF", b"YUV4MPEG2", b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        prefix=st.sampled_from(valid_prefixes + [b""]),
+        body=st.binary(min_size=0, max_size=300),
+    )
+    def run(prefix, body):
+        data = prefix + body
+        for dec in set(multimodal.DECODERS.values()):
+            try:
+                out = dec(data)
+                assert isinstance(out, dict)
+            except (ValueError, struct.error):
+                pass  # the contained failure contract
+
+    run()
