@@ -228,16 +228,58 @@ def sync(
     return summary
 
 
+_CONFIG_KEYS = {
+    "source_dir", "filter_tables", "key_properties", "replication",
+    "wal_feed_dir", "lake_dir", "checkpoint_dir", "dead_letter_dir",
+    "pg_types", "num_buckets", "max_files_per_trigger", "start_date",
+    "stream_maps", "stream_map_config", "spark",
+}
+
+
+def about() -> dict[str, Any]:
+    """``--about`` document (reference README.md:66: settings +
+    capabilities listing)."""
+    return {
+        "name": "tap-postgres-spark",
+        "capabilities": [
+            "catalog", "discover", "state", "stream-maps",
+            "replication-methods: FULL_TABLE INCREMENTAL LOG_BASED",
+            "exactly-once lake sink (idempotent MERGE + epoch dedup)",
+            "schema evolution (additive)", "dead-letter quarantine",
+            "snapshot-to-stream bootstrap", "timestamp time travel",
+        ],
+        "settings": sorted(_CONFIG_KEYS),
+    }
+
+
+def validate_config(config: dict[str, Any]) -> None:
+    """Fail fast on typo'd / missing settings (the SDK validates config
+    against its declared JSON schema before running)."""
+    unknown = set(config) - _CONFIG_KEYS
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    if "source_dir" not in config:
+        raise ValueError("config requires source_dir")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m tap_postgres_spark")
-    p.add_argument("--config", required=True)
+    p.add_argument("--config")
     p.add_argument("--catalog")
     p.add_argument("--state")
     p.add_argument("--discover", action="store_true")
+    p.add_argument("--about", action="store_true")
     args = p.parse_args(argv)
 
+    if args.about:
+        json.dump(about(), sys.stdout, indent=2)
+        sys.stdout.write("\n")
+        return 0
+    if not args.config:
+        p.error("--config is required (except with --about)")
     with open(args.config) as f:
         config = json.load(f)
+    validate_config(config)
     spark = _spark(config)
     try:
         streams = _discover(spark, config)

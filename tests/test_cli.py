@@ -152,3 +152,24 @@ def test_sync_applies_stream_maps(spark, tmp_path):
     assert "key2" in schema["schema"]["properties"]
     assert rec["record"]["key2"] == rec["record"]["r_regionkey"] * 10
     assert "r_comment" not in rec["record"]
+
+
+def test_about_and_config_validation():
+    import pytest
+
+    from tap_postgres_spark.__main__ import about, validate_config
+
+    doc = about()
+    assert "FULL_TABLE INCREMENTAL LOG_BASED" in " ".join(doc["capabilities"])
+    assert "source_dir" in doc["settings"]
+    validate_config({"source_dir": "/x"})
+    with pytest.raises(ValueError, match="unknown config keys.*sourc_dir"):
+        validate_config({"sourc_dir": "/x"})
+    with pytest.raises(ValueError, match="requires source_dir"):
+        validate_config({})
+    # --about needs no config and no Spark
+    r = subprocess.run(
+        [sys.executable, "-m", "tap_postgres_spark", "--about"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert r.returncode == 0 and json.loads(r.stdout)["name"] == "tap-postgres-spark"
