@@ -675,6 +675,24 @@ def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8
+_PQ_K = 16
+_PQ_ENC_ROUND = 6
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring: 64-dim
+    float32 → 8 one-byte codes (32× compression); scoring reads codes
+    only, via per-subspace lookup tables against the full-precision
+    query."""
+    emb = _emb(spark, sf_dir)
+    cbs = vectorops.pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    q = _query_vec(spark, sf_dir, 0)
+    return vectorops.pq_adc_topk(
+        emb, q, cbs, k=10, encode_round_to=_PQ_ENC_ROUND, round_to=4
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN join: 3 query vectors x whole corpus, top-5 each —
     broadcast query side, vectors pruned before the per-query ranking
@@ -1065,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ann_quantized": q_ann_quantized,
         "ann_hamming": q_ann_hamming,
+        "ann_pq": q_ann_pq,
         "singer_records": q_singer_records,
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
@@ -1297,6 +1316,50 @@ FROM hashed c
 JOIN (SELECT DISTINCT h FROM hashed WHERE doc_id % {_DECON_BENCH_MOD} = 0) b
   ON c.h = b.h
 GROUP BY c.doc_id
+"""
+
+
+def _ann_pq_sql() -> str:
+    """SQL replay of pq_codebooks → pq_encode → pq_adc_topk: codebooks =
+    subvector slices of the 16 lowest-id vectors (cid = rank), encode =
+    rounded-score argmax with lowest-cid ties, ADC = summed subspace
+    lookups.  Rounding before the argmax absorbs last-ulp summation-order
+    differences between the engines' dot products."""
+    sub = _LSH_DIM // _PQ_M
+    return f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC
+        LIMIT {_PQ_K})
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id, s.s, cb.cid,
+         round(2.0 * list_dot_product(
+                 (e.embedding::DOUBLE[])[s.s*{sub}+1 : s.s*{sub}+{sub}],
+                 cb.cv[s.s*{sub}+1 : s.s*{sub}+{sub}])
+               - list_dot_product(
+                 cb.cv[s.s*{sub}+1 : s.s*{sub}+{sub}],
+                 cb.cv[s.s*{sub}+1 : s.s*{sub}+{sub}]),
+               {_PQ_ENC_ROUND}) AS score
+  FROM embeddings e, range({_PQ_M}) AS s(s), cb
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                ORDER BY score DESC, cid ASC) AS rn
+    FROM sc) WHERE rn = 1
+),
+adc AS (
+  SELECT c.vec_id,
+         sum(list_dot_product(q.qv[c.s*{sub}+1 : c.s*{sub}+{sub}],
+                              cb.cv[c.s*{sub}+1 : c.s*{sub}+{sub}])) AS sc
+  FROM codes c JOIN cb ON cb.cid = c.cid, q
+  GROUP BY c.vec_id
+)
+SELECT vec_id, round(sc, 4) AS adc_score
+FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 10
 """
 
 
@@ -1709,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_hamming": _ann_hamming_sql(),
+        "ann_pq": _ann_pq_sql(),
         "knn_join": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),

@@ -784,3 +784,127 @@ def hamming_rerank_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) scoring — the third
+# production ANN compression path next to SQ8 and binary signatures.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: subspace ``s``'s centroids are the
+    ``k`` lowest-id vectors' ``s``-th subvector slices (cid = rank by
+    id).  Sampling-as-seeding keeps both engines bit-reproducible — swap
+    in :func:`train_centroids` per subspace for trained codebooks; the
+    encode/ADC machinery is unchanged."""
+    rows = df.orderBy(F.col(id_col).asc()).limit(k).collect()
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [
+            (cid, [float(x) for x in r[vec_col]][s * sub : (s + 1) * sub])
+            for cid, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_code_sql(
+    vec_col: str, codebook: list[tuple[int, list[float]]], start: int, sub: int,
+    round_to: int,
+) -> str:
+    """Argmin-L2 code for one subspace as a SQL expression: argmax of
+    round(2·dot(x_s, c) − ‖c‖², r) with first-max (lowest cid) ties —
+    the array_position linear argmax (see ivf_assign)."""
+    sl = f"slice({vec_col}, {start}, {sub})"
+    scores = []
+    for _cid, cvec in codebook:
+        nc2 = 0.0
+        for x in cvec:
+            nc2 += float(x) * float(x)
+        scores.append(
+            f"round(2.0D * {_dot_sql(sl, cvec)} - CAST({nc2!r} AS DOUBLE),"
+            f" {round_to})"
+        )
+    arr = "array(" + ",".join(scores) + ")"
+    return (
+        f"CAST(array_position({arr}, array_max({arr})) AS INT) - 1"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes (nearest subspace
+    centroid by L2, computed as a linear-argmax expression — one scan,
+    whole-stage codegen, no shuffle).  64-dim float32 → 8 bytes: 32×
+    compression, the memory shape a 10^10-vector index needs."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    codes = ",".join(
+        _pq_sub_code_sql(vec_col, codebooks[s], s * sub + 1, sub, round_to)
+        for s in range(m)
+    )
+    return df.select(
+        F.col(id_col), F.expr(f"array({codes})").alias("codes")
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode_round_to: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays FULL precision; each
+    database vector is scored from its PQ codes via per-subspace lookup
+    tables ``T[s][cid] = dot(q_s, c_s_cid)`` (built driver-side — m×k
+    doubles), so scoring reads m bytes per vector and does m array
+    lookups: the classic IVF-PQ inner loop, here as pure Column
+    expressions over the codes column."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    if len(query_vec) != m * sub:
+        raise ValueError("query dim != m * sub")
+    lookups = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * sub : (s + 1) * sub]]
+        table = []
+        for _cid, cvec in codebooks[s]:
+            d = 0.0
+            for a, b in zip(qs, cvec):
+                d += a * float(b)
+            table.append(d)
+        arr = "array(" + ",".join(f"CAST({t!r} AS DOUBLE)" for t in table) + ")"
+        lookups.append(
+            f"element_at({arr}, element_at(codes, {s + 1}) + 1)"
+        )
+    score = f"round({' + '.join(lookups)}, {round_to})"
+    encoded = pq_encode(
+        df, codebooks, id_col=id_col, vec_col=vec_col, round_to=encode_round_to
+    )
+    return (
+        encoded.select(F.col(id_col), F.expr(score).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -334,3 +334,53 @@ def test_hamming_rerank_topk_recall_and_determinism(spark, emb, emb_np):
     # shortlist survivors are reranked by exact cosine: scores descend
     scores = [r["cos_sim"] for r in r1]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_encode_codes_match_numpy_argmin(spark, emb, emb_np):
+    ids, mat = emb_np
+    cbs = vectorops.pq_codebooks(emb, m=8, k=16)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in vectorops.pq_encode(emb, cbs).collect()
+    }
+    m, sub = 8, mat.shape[1] // 8
+    for i, vid in enumerate(ids):
+        for s in range(m):
+            xs = mat[i, s * sub : (s + 1) * sub]
+            # argmin L2 == argmax 2<x,c> - |c|^2, rounded like the engine
+            scores = np.round(
+                [2 * xs @ np.array(c) - np.array(c) @ np.array(c)
+                 for _cid, c in cbs[s]], 6)
+            exp = int(np.argmax(scores))  # first max = lowest cid tie-break
+            assert got[int(vid)][s] == exp, (vid, s)
+
+
+def test_pq_adc_topk_matches_numpy_lookup(spark, emb, emb_np):
+    ids, mat = emb_np
+    cbs = vectorops.pq_codebooks(emb, m=8, k=16)
+    q = mat[0]
+    got = [(r["vec_id"], r["adc_score"]) for r in vectorops.pq_adc_topk(
+        emb, list(q), cbs, k=10
+    ).collect()]
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in vectorops.pq_encode(emb, cbs).collect()
+    }
+    m, sub = 8, mat.shape[1] // 8
+    tables = [
+        [q[s * sub : (s + 1) * sub] @ np.array(c) for _cid, c in cbs[s]]
+        for s in range(m)
+    ]
+    adc = {
+        int(vid): round(sum(tables[s][codes[int(vid)][s]] for s in range(m)), 4)
+        for vid in ids
+    }
+    order = sorted(adc, key=lambda v: (-adc[v], v))[:10]
+    assert [g[0] for g in got] == order
+    for vid, sc in got:
+        assert sc == pytest.approx(adc[vid], abs=1e-9)
+
+
+def test_pq_dim_not_divisible_raises(spark, emb):
+    with pytest.raises(ValueError):
+        vectorops.pq_codebooks(emb, m=7, k=16)
