@@ -693,6 +693,26 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN: coarse quantizer prunes to 1 of 4 cells (a
+    partition-prunable predicate at scale), then survivors are scored
+    from 8 one-byte PQ codes via asymmetric-distance lookup tables —
+    the production shape where search reads n_probe/k_cells of the
+    data and m bytes per survivor."""
+    emb = _emb(spark, sf_dir)
+    cids = [0, 50, 100, 150]
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
+        F.col("vec_id").isin(cids)
+    ).collect()}
+    centroids = [(cid, rows[cid]) for cid in cids]
+    cbs = vectorops.pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    q = _query_vec(spark, sf_dir, 7)
+    return vectorops.ivf_pq_topk(
+        emb, q, centroids, cbs, k=10, n_probe=1,
+        encode_round_to=_PQ_ENC_ROUND, round_to=4,
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN join: 3 query vectors x whole corpus, top-5 each —
     broadcast query side, vectors pruned before the per-query ranking
@@ -1024,6 +1044,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 10 docs per source, hash-rank selected —
+    the web-pipeline guard against one crawled domain dominating the
+    mix; salted two-stage rank so a hot domain can't funnel through one
+    task."""
+    return pipelineops.cap_per_source(_docs(spark, sf_dir), cap=10).select(
+        "doc_id", "source"
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding in (label, dim, centroid) row form."""
     df = pipelineops.label_centroids(_emb(spark, sf_dir), dim=_LSH_DIM)
@@ -1084,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "ann_hamming": q_ann_hamming,
         "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "singer_records": q_singer_records,
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
@@ -1106,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "length_stats": q_length_stats,
         "stratified_sample": q_stratified_sample,
+        "cap_per_source": q_cap_per_source,
     }
 
 
@@ -1357,6 +1389,64 @@ adc AS (
                               cb.cv[c.s*{sub}+1 : c.s*{sub}+{sub}])) AS sc
   FROM codes c JOIN cb ON cb.cid = c.cid, q
   GROUP BY c.vec_id
+)
+SELECT vec_id, round(sc, 4) AS adc_score
+FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _ann_ivf_pq_sql() -> str:
+    """SQL replay of ivf_pq_topk: the ivf_topk assignment/probe CTEs
+    (unrounded cosine argmax, lowest-cid ties) restrict the corpus to
+    the probed cell; the ann_pq encode/ADC CTEs then score only those
+    candidates.  Codebooks stay trained on the FULL corpus (16
+    lowest-id vectors), matching pq_codebooks."""
+    sub = _LSH_DIM // _PQ_M
+    return f"""
+WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS cvec FROM embeddings
+           WHERE vec_id IN (0, 50, 100, 150)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+probe AS (SELECT ccid AS probe_cid FROM c, q
+          ORDER BY list_cosine_similarity(cvec, qv) DESC, ccid ASC LIMIT 1),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.ccid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                    DESC, c.ccid ASC) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+cand AS (SELECT vec_id, embedding FROM asg, probe
+         WHERE rn = 1 AND ccid = probe_cid),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC
+        LIMIT {_PQ_K})
+),
+sc AS (
+  SELECT e.vec_id, s.s, cb.cid,
+         round(2.0 * list_dot_product(
+                 (e.embedding::DOUBLE[])[s.s*{sub}+1 : s.s*{sub}+{sub}],
+                 cb.cv[s.s*{sub}+1 : s.s*{sub}+{sub}])
+               - list_dot_product(
+                 cb.cv[s.s*{sub}+1 : s.s*{sub}+{sub}],
+                 cb.cv[s.s*{sub}+1 : s.s*{sub}+{sub}]),
+               {_PQ_ENC_ROUND}) AS score
+  FROM cand e, range({_PQ_M}) AS s(s), cb
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                ORDER BY score DESC, cid ASC) AS rn
+    FROM sc) WHERE rn = 1
+),
+adc AS (
+  SELECT c2.vec_id,
+         sum(list_dot_product(q.qv[c2.s*{sub}+1 : c2.s*{sub}+{sub}],
+                              cb.cv[c2.s*{sub}+1 : c2.s*{sub}+{sub}])) AS sc
+  FROM codes c2 JOIN cb ON cb.cid = c2.cid, q
+  GROUP BY c2.vec_id
 )
 SELECT vec_id, round(sc, 4) AS adc_score
 FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT 10
@@ -1773,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_hamming": _ann_hamming_sql(),
         "ann_pq": _ann_pq_sql(),
+        "ann_ivf_pq": _ann_ivf_pq_sql(),
         "knn_join": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),
@@ -2029,5 +2120,14 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE {_H60.format(expr="doc_id::VARCHAR")} % 100 < 10
+        """,
+        "cap_per_source": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_H60.format(expr="doc_id::VARCHAR")} ASC,
+                                doc_id ASC) AS rn
+              FROM documents) WHERE rn <= 10
         """,
     }

@@ -379,6 +379,49 @@ def stratified_sample(
     return docs.filter(bucket < pct)
 
 
+def cap_per_source(
+    docs: DataFrame,
+    cap: int = 100,
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source/domain, chosen
+    deterministically by md5-hash rank of ``key_col`` (ties → lowest
+    key) — the standard web-pipeline guard against a single crawled
+    domain dominating the training mix, reproducible across runs and
+    partitionings like :func:`stratified_sample`.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY source)``
+    funnels a hot domain's 10^9 rows through one task.  Here rank runs
+    in two stages — a local rank over ``(source, salt)`` keeps at most
+    ``cap`` rows per salt, then the global rank sees ≤ cap × n_salt
+    rows per source.  Both stages are hash-partition shuffles; the
+    second is bounded regardless of input skew.  The salted pre-rank
+    cannot drop a global keeper: a row in the global top-``cap`` of its
+    source is in the top-``cap`` of its own salt a fortiori.
+    """
+    h = md5_60bit(F.col(key_col)).alias("_h")
+    salted = docs.select("*", h, (md5_60bit(F.col(key_col)) % n_salt).alias("_salt"))
+    local = Window.partitionBy(source_col, "_salt").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    pre = (
+        salted.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= cap)
+        .drop("_lrn", "_salt")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding centroids per label
 # ---------------------------------------------------------------------------

@@ -324,6 +324,22 @@ def train_centroids(
     return centroids
 
 
+def probe_cells(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> list[int]:
+    """Driver-side centroid ranking: the ``n_probe`` centroid ids nearest
+    the query by cosine (ties → lowest cid).  k × dim doubles — trivial."""
+    sims = []
+    qn = math.sqrt(sum(v * v for v in query_vec))
+    for cid, cvec in centroids:
+        cn = math.sqrt(sum(v * v for v in cvec))
+        dot = sum(a * b for a, b in zip(query_vec, cvec))
+        sims.append((dot / (qn * cn) if qn and cn else -2.0, cid))
+    return [cid for _s, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -338,15 +354,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: rank centroids by similarity to the query, scan only
     the ``n_probe`` nearest cells."""
-    sims = []
-    import math
-
-    qn = math.sqrt(sum(v * v for v in query_vec))
-    for cid, cvec in centroids:
-        cn = math.sqrt(sum(v * v for v in cvec))
-        dot = sum(a * b for a, b in zip(query_vec, cvec))
-        sims.append((dot / (qn * cn) if qn and cn else -2.0, cid))
-    probe_ids = [cid for _s, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    probe_ids = probe_cells(query_vec, centroids, n_probe)
     assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=assign_round_to)
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(
@@ -907,4 +915,36 @@ def pq_adc_topk(
         encoded.select(F.col(id_col), F.expr(score).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    *,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round_to: int | None = None,
+    encode_round_to: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN shape — coarse quantizer
+    prunes the corpus to ``n_probe`` cells (a partition-prunable
+    predicate at scale: store the table partitioned by ``centroid_id``
+    and only the probed cells' files are read), then survivors are
+    scored from their m-byte PQ codes via asymmetric-distance lookup
+    tables.  Search touches ``n_probe/k_cells`` of the data and reads
+    m bytes + m array lookups per survivor — no full vectors after the
+    pruning filter."""
+    probe_ids = probe_cells(query_vec, centroids, n_probe)
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=assign_round_to)
+    candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return pq_adc_topk(
+        candidates, query_vec, codebooks, k,
+        id_col=id_col, vec_col=vec_col,
+        encode_round_to=encode_round_to, round_to=round_to,
     )

@@ -306,3 +306,54 @@ def test_pack_sequences_boundaries(spark):
     }
     # cumsum starts: 0,10,20,30,... → shards 0,0,0,1,1,2,2,(70)2,3,3
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+
+class TestCapPerSource:
+    def _docs(self, spark, n_per_src=30, sources=("a", "b")):
+        rows = [
+            (s_i * 1000 + i, src, f"text {i}")
+            for s_i, src in enumerate(sources)
+            for i in range(n_per_src)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_caps_and_is_deterministic(self, spark):
+        docs = self._docs(spark)
+        got = pipelineops.cap_per_source(docs, cap=5).collect()
+        per_src = {}
+        for r in got:
+            per_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert all(len(v) == 5 for v in per_src.values())
+        again = pipelineops.cap_per_source(docs.repartition(7), cap=5).collect()
+        assert sorted(r["doc_id"] for r in got) == sorted(
+            r["doc_id"] for r in again
+        )
+
+    def test_salted_rank_equals_plain_rank(self, spark):
+        """The salted two-stage rank must select exactly the rows a plain
+        global hash-rank would — salting is a physical rewrite only."""
+        from pyspark.sql import Window
+
+        from tap_postgres_spark.functions import md5_60bit
+
+        docs = self._docs(spark, n_per_src=40, sources=("a", "b", "c"))
+        w = Window.partitionBy("source").orderBy(
+            md5_60bit(F.col("doc_id")).asc(), F.col("doc_id").asc()
+        )
+        plain = {
+            r["doc_id"]
+            for r in docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 7)
+            .collect()
+        }
+        salted = {
+            r["doc_id"]
+            for r in pipelineops.cap_per_source(docs, cap=7, n_salt=4).collect()
+        }
+        assert salted == plain
+
+    def test_under_cap_passthrough(self, spark):
+        docs = self._docs(spark, n_per_src=3)
+        got = pipelineops.cap_per_source(docs, cap=10).collect()
+        assert len(got) == 6
+        assert set(docs.columns) == set(got[0].asDict().keys())

@@ -384,3 +384,34 @@ def test_pq_adc_topk_matches_numpy_lookup(spark, emb, emb_np):
 def test_pq_dim_not_divisible_raises(spark, emb):
     with pytest.raises(ValueError):
         vectorops.pq_codebooks(emb, m=7, k=16)
+
+
+def test_ivf_pq_topk_composes_prune_and_adc(spark, emb, emb_np):
+    """IVF-PQ result == PQ-ADC ranking restricted to the probed cell."""
+    ids, mat = emb_np
+    cids = [int(ids[0]), int(ids[min(3, len(ids) - 1)])]
+    centroids = [
+        (cid, list(mat[list(ids).index(cid)])) for cid in cids
+    ]
+    cbs = vectorops.pq_codebooks(emb, m=8, k=16)
+    q = mat[0]
+    got = [(r["vec_id"], r["adc_score"]) for r in vectorops.ivf_pq_topk(
+        emb, list(q), centroids, cbs, k=5, n_probe=1
+    ).collect()]
+    probe = vectorops.probe_cells(list(q), centroids, 1)
+    assigned = vectorops.ivf_assign(emb, centroids)
+    cand = assigned.filter(F.col("centroid_id").isin(probe))
+    exp = [(r["vec_id"], r["adc_score"]) for r in vectorops.pq_adc_topk(
+        cand, list(q), cbs, k=5
+    ).collect()]
+    assert got == exp
+    assert len(got) == 5
+    # every result must belong to the probed cell
+    cell_ids = {r["vec_id"] for r in cand.collect()}
+    assert all(vid in cell_ids for vid, _ in got)
+
+
+def test_probe_cells_ranks_by_cosine_lowest_cid_ties(spark):
+    cents = [(3, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    # identical sims for cids 1 and 3 -> lowest cid first
+    assert vectorops.probe_cells([1.0, 0.0], cents, 2) == [1, 3]
