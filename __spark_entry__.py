@@ -211,6 +211,59 @@ def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained derived table (lake/derived.py): a base
+    CDC table is built in two merge epochs split at the median event_id;
+    a derived table (value doubled per key) is BOOTSTRAPPED after epoch
+    one and then REFRESHED from the changelog only — epoch two's keys
+    are the only rows transformed/merged.  Final derived state must
+    equal a full recompute of the base head (the oracle)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.lake.derived import bootstrap_derived, refresh_derived
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    _pin_session(spark)
+    ev = _events(spark, sf_dir)
+    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+    )
+
+    def as_batch(df: DataFrame) -> DataFrame:
+        is_del = F.col("event_type") == "error"
+        return df.select(
+            F.col("user_id"),
+            F.when(is_del, F.lit(None)).otherwise(F.col("value")).alias("value"),
+            F.col("event_id").alias("_sdc_lsn"),
+            F.when(is_del, F.lit("2024-01-01T00:00:00Z"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("_sdc_deleted_at"),
+        )
+
+    def xform(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id", "_sdc_lsn",
+            F.round(F.col("value") * 2, 6).alias("value_x2"),
+        )
+
+    d = tempfile.mkdtemp(prefix="tps-derived-")
+    base = LakeTable.create(spark, f"{d}/base", schema, ["user_id"], num_buckets=8)
+    base.merge_into(as_batch(ev.filter(F.col("event_id") <= h)), epoch_id="d1")
+    derived = bootstrap_derived(spark, base, f"{d}/derived", xform)
+    base.merge_into(as_batch(ev.filter(F.col("event_id") > h)), epoch_id="d2")
+    refresh_derived(base, derived, xform)
+    return derived.read().select("user_id", "value_x2", "_sdc_lsn")
+
+
 def q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot→stream handoff over the REAL LakeTable + bootstrap API
     (modes/bootstrap.py): a consistent snapshot of the events-derived
@@ -1079,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest": q_lww_latest,
         "merge_apply": q_merge_apply,
         "lake_changelog": q_lake_changelog,
+        "derived_refresh": q_derived_refresh,
         "bootstrap_handoff": q_bootstrap_handoff,
         "order_monitor": q_order_monitor,
         "bookmark_max": q_bookmark_max,
@@ -1658,6 +1712,15 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS _sdc_lsn,
                    (event_type = 'error') AS deleted
             FROM latest WHERE rn = 1
+        """,
+        "derived_refresh": """
+            WITH latest AS (SELECT user_id,
+                                   max_by(value, event_id) AS value,
+                                   max_by(event_type, event_id) AS last_type,
+                                   max(event_id) AS lsn
+                            FROM events GROUP BY user_id)
+            SELECT user_id, round(value * 2, 6) AS value_x2, lsn AS _sdc_lsn
+            FROM latest WHERE last_type <> 'error'
         """,
         "merge_apply": """
             SELECT user_id, event_id AS last_event_id, value
