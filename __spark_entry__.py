@@ -746,6 +746,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SD_THRESHOLD = 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors: k-means clusters block the pairwise cosine
+    comparison; the higher id of every within-cluster pair above the
+    threshold drops.  Same trained centroids as ivf_topk_trained."""
+    return vectorops.semantic_dedup(
+        _emb(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER,
+        threshold=_SD_THRESHOLD, assign_round_to=_KM_ROUND, round_to=6,
+    )
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN: coarse quantizer prunes to 1 of 4 cells (a
     partition-prunable predicate at scale), then survivors are scored
@@ -1169,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming": q_ann_hamming,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "semantic_dedup": q_semantic_dedup,
         "singer_records": q_singer_records,
         "stream_map_events": q_stream_map_events,
         "multimodal_stats": q_multimodal_stats,
@@ -1565,13 +1579,11 @@ JOIN sizes nb ON nb.doc_id = i.b
 """
 
 
-def _ivf_trained_sql() -> str:
-    """Unrolled Lloyd iterations — the SQL replay of train_centroids:
-    same seeds (k lowest ids), same rounded-similarity argmax with
-    lowest-cid tie-break, same rounded per-dimension means."""
-
-    def assign(src_cent: str, name: str) -> str:
-        return f"""
+def _km_assign_cte(src_cent: str, name: str) -> str:
+    """DuckDB CTE assigning every embedding to its nearest centroid in
+    ``src_cent`` — the SQL replay of ivf_assign (rounded-similarity
+    argmax, lowest-cid ties)."""
+    return f"""
 {name} AS (
   SELECT vec_id, emb, cid FROM (
     SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, s.cid,
@@ -1581,6 +1593,12 @@ def _ivf_trained_sql() -> str:
     FROM embeddings e CROSS JOIN {src_cent} s) WHERE rn = 1
 )"""
 
+
+def _km_ctes() -> tuple[list[str], str]:
+    """Unrolled Lloyd iterations — the SQL replay of train_centroids:
+    same seeds (k lowest ids), same rounded-similarity argmax with
+    lowest-cid tie-break, same rounded per-dimension means.  Returns
+    (cte_fragments, name_of_final_centroid_cte)."""
     parts = [
         f"""seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
@@ -1590,7 +1608,7 @@ def _ivf_trained_sql() -> str:
     ]
     src = "seeds"
     for i in range(1, _KM_ITER + 1):
-        parts.append(assign(src, f"a{i}"))
+        parts.append(_km_assign_cte(src, f"a{i}"))
         parts.append(
             f"""u{i} AS (
   SELECT cid, g.ord AS ord, round(avg(emb[g.ord]), {_KM_ROUND}) AS m
@@ -1601,6 +1619,13 @@ def _ivf_trained_sql() -> str:
             f"c{i} AS (SELECT cid, list(m ORDER BY ord) AS cvec FROM u{i} GROUP BY cid)"
         )
         src = f"c{i}"
+    return parts, src
+
+
+def _ivf_trained_sql() -> str:
+    """IVF search over the replayed trained centroids (see _km_ctes)."""
+    assign = _km_assign_cte
+    parts, src = _km_ctes()
     parts.append(
         "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)"
     )
@@ -1617,6 +1642,25 @@ WITH {ctes}
 SELECT vec_id, round(list_cosine_similarity(emb, qv), 4) AS cos_sim
 FROM fin, q, probe WHERE cid = probe_cid
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _semantic_dedup_sql() -> str:
+    """SQL replay of semantic_dedup: trained-centroid assignment (the
+    _km_ctes chain), within-cluster pairs above the rounded-cosine
+    threshold, higher id of each pair dropped."""
+    parts, src = _km_ctes()
+    parts.append(_km_assign_cte(src, "fin"))
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+drops AS (
+  SELECT DISTINCT y.vec_id AS b
+  FROM fin x JOIN fin y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {_SD_THRESHOLD}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT b FROM drops)
 """
 
 
@@ -1927,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hamming": _ann_hamming_sql(),
         "ann_pq": _ann_pq_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "knn_join": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),

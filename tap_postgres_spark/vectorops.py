@@ -948,3 +948,79 @@ def ivf_pq_topk(
         id_col=id_col, vec_col=vec_col,
         encode_round_to=encode_round_to, round_to=round_to,
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round_to: int = 6,
+    round_to: int = 6,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compare
+    pairs only WITHIN a cluster, and drop the higher id of every pair
+    whose cosine exceeds ``threshold``.  Returns the surviving ids.
+
+    Unlike exact/MinHash dedup this removes *semantic* redundancy —
+    paraphrases and templated rewrites that share no shingles.  Composes
+    the existing deterministic pieces: :func:`train_centroids` (Lloyd,
+    SQL-replayable), :func:`ivf_assign` (rounded argmax), and
+    :func:`neardup_pairs_blocked` (id-only block join, vectors fetched
+    once per side for the exact-cosine filter).
+
+    Scale shape: per-cluster pairwise work is O((n/k)²)·k, so k must
+    grow WITH the corpus — size k ≈ n/c for a constant target cluster
+    width c (the paper uses ~10⁴-item clusters at 10⁹ docs), making
+    total work O(n·c).  ``max_cluster_size`` guards the skew case (a
+    degenerate cluster swallowing the corpus): oversized clusters'
+    pairs are SKIPPED — never silently; enumerate them with
+    :func:`semantic_oversized_clusters` and re-cluster those ids with a
+    larger k.  (No keep-lowest rule here, unlike the LSH caps: a
+    k-means cluster is a neighborhood, not a duplicate class.)
+    """
+    cents = train_centroids(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        round_to=assign_round_to,
+    )
+    assigned = ivf_assign(df, cents, vec_col=vec_col, round_to=assign_round_to)
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_cn"))
+        ok = sizes.filter(F.col("_cn") <= max_cluster_size).select("centroid_id")
+        assigned = assigned.join(F.broadcast(ok), "centroid_id")
+    pairs = neardup_pairs_blocked(
+        assigned, id_col=id_col, vec_col=vec_col, block_col="centroid_id",
+        threshold=threshold, round_to=round_to,
+    )
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti").select(id_col)
+
+
+def semantic_oversized_clusters(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 2,
+    max_cluster_size: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign_round_to: int = 6,
+) -> DataFrame:
+    """Clusters whose size exceeds ``max_cluster_size`` — the ones
+    :func:`semantic_dedup` skipped pairwise comparison for.  'No silent
+    caps': feed these ids back through a finer clustering."""
+    cents = train_centroids(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        round_to=assign_round_to,
+    )
+    assigned = ivf_assign(df, cents, vec_col=vec_col, round_to=assign_round_to)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_cluster_size)
+    )

@@ -415,3 +415,44 @@ def test_probe_cells_ranks_by_cosine_lowest_cid_ties(spark):
     cents = [(3, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
     # identical sims for cids 1 and 3 -> lowest cid first
     assert vectorops.probe_cells([1.0, 0.0], cents, 2) == [1, 3]
+
+
+def test_semantic_dedup_drops_higher_id_of_close_pairs(spark):
+    # two tight clusters + one outlier; within-cluster near-identical
+    # vectors dedup to the lowest id
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),   # dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),      # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r["vec_id"]
+        for r in vectorops.semantic_dedup(
+            emb, k=3, n_iter=1, threshold=0.95
+        ).collect()
+    }
+    assert kept == {1, 3, 5}
+
+
+def test_semantic_dedup_cap_skips_but_enumerates(spark):
+    # one degenerate cluster of 6 identical vectors: with a cap of 4 the
+    # pairwise stage skips it (no drops) and the enumerator reports it.
+    # ids 0 and 1 differ so the two k-means seeds are distinct clusters.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])] + [
+        (i, [1.0, 0.0]) for i in range(2, 7)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r["vec_id"]
+        for r in vectorops.semantic_dedup(
+            emb, k=2, n_iter=1, threshold=0.9, max_cluster_size=4
+        ).collect()
+    }
+    assert kept == {0, 1, 2, 3, 4, 5, 6}  # skipped, not silently deduped
+    over = vectorops.semantic_oversized_clusters(
+        emb, k=2, n_iter=1, max_cluster_size=4
+    ).collect()
+    assert len(over) == 1 and over[0]["n"] == 6
