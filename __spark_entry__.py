@@ -492,6 +492,30 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier score (fixed documented weights) + keep
+    decision — the fastText-style filter shape over the standard
+    feature set; raw logit only, so both engines compare exact
+    polynomials."""
+    return pipelineops.quality_logit(_docs(spark, sf_dir))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep probability proportional
+    to document length (capped at 1) — the data-mixing primitive."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "_w", F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0))
+    )
+    return pipelineops.weighted_sample(docs, "_w").select("doc_id", "n_chars")
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture table: per (lang, source) doc counts, token sums,
+    and token fraction — the statistics a data-mixing scheduler sets
+    sampling weights from."""
+    return pipelineops.mixture_weights(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", textops.fingerprint(F.col("text")).alias("fp")
@@ -1206,6 +1230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": q_length_stats,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
+        "quality_logit": q_quality_logit,
+        "weighted_sample": q_weighted_sample,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -2237,5 +2264,38 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY {_H60.format(expr="doc_id::VARCHAR")} ASC,
                                 doc_id ASC) AS rn
               FROM documents) WHERE rn <= 10
+        """,
+        "quality_logit": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS qc,
+                     len({_TOKS}) AS qt,
+                     round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                           / greatest(length(text), 1), 6) AS pr,
+                     round(len(list_filter({_TOKS}, x -> x IN ({stop})))
+                           / greatest(len({_TOKS}), 1), 6) AS sr
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     round(-1.0 + 4.0 * sr - 6.0 * pr
+                           + 0.4 * ln(greatest(qt, 1))
+                           - 0.2 * abs(qc / greatest(qt, 1) - 5.0), 6) AS quality_logit
+              FROM f)
+            SELECT doc_id, quality_logit, quality_logit > 0.0 AS keep FROM s
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE ({_H60.format(expr="doc_id::VARCHAR")} % 1000000) / 1000000.0
+                  < least(n_chars / 2000.0, 1.0)
+        """,
+        "mixture_weights": f"""
+            WITH per AS (
+              SELECT lang, source, count(*) AS n_docs,
+                     sum(len({_TOKS})) AS n_tokens
+              FROM documents GROUP BY lang, source),
+            tot AS (SELECT sum(n_tokens) AS _tot FROM per)
+            SELECT lang, source, n_docs, n_tokens,
+                   round(n_tokens / _tot, 6) AS token_frac
+            FROM per, tot
         """,
     }

@@ -379,6 +379,95 @@ def stratified_sample(
     return docs.filter(bucket < pct)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: Column | str,
+    *,
+    key_col: str = "doc_id",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``weight`` (a per-row column in [0, 1] — a quality score, a language
+    up/down-weight, a source mixture weight), decided by comparing the
+    row key's md5-derived uniform to the weight.  The data-mixing
+    primitive behind 'sample low-quality docs at 10%, keep high-quality
+    at 100%'.
+
+    Like :func:`stratified_sample` this is reproducible across engines,
+    runs, and partitionings (no RNG state), composes with pushed-down
+    filters (pure column expression, no shuffle), and — because the
+    uniform depends only on the KEY — re-sampling after a weight change
+    keeps the maximal overlap with the previous sample (the property
+    that makes incremental corpus rebuilds cheap: rows whose weight
+    rose are added, rows whose weight fell are dropped, nothing else
+    moves)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (md5_60bit(F.col(key_col)) % modulus) / F.lit(float(modulus))
+    return docs.filter(u < w)
+
+
+def quality_logit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    round_to: int = 6,
+    keep_threshold: float = 0.0,
+) -> DataFrame:
+    """Linear quality score over the standard feature set — the shape of
+    a fastText/logistic quality classifier with FIXED, documented
+    weights (no training data in the sandbox; swap the constants for
+    learned ones).  Emits the raw logit (monotone in P(keep); the
+    sigmoid is deliberately not applied so both engines compare exact
+    polynomials, no transcendental parity risk) and the keep decision
+    at ``keep_threshold``.
+
+    Feature weights: reward stopword density and moderate length,
+    penalize punctuation soup and extreme chars-per-token — the Gopher
+    /C4-style heuristics folded into one score.  Pure column
+    expressions; one scan, no shuffle, no UDF."""
+    from .textops import quality_features
+
+    feats = quality_features(docs, text_col=text_col)
+    logit = (
+        F.lit(-1.0)
+        + 4.0 * F.col("q_stopword_ratio")
+        - 6.0 * F.col("q_punct_ratio")
+        + 0.4 * F.log(F.greatest(F.col("q_tokens"), F.lit(1)).cast("double"))
+        - 0.2 * F.abs(F.col("q_chars_per_token") - 5.0)
+    )
+    return feats.select(
+        "doc_id",
+        F.round(logit, round_to).alias("quality_logit"),
+        (F.round(logit, round_to) > keep_threshold).alias("keep"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mixture table: per (lang, source) document counts, token
+    sums, and fraction of total tokens — the statistics a data-mixing
+    scheduler needs to set per-group sampling weights (and the report
+    auditors read).  One map-side-combined aggregate over the corpus;
+    the total re-joins as a 1-row broadcast, so output cardinality is
+    |groups|, independent of corpus size."""
+    per = docs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            *group_cols, "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_frac"),
+        )
+    )
+
+
 def cap_per_source(
     docs: DataFrame,
     cap: int = 100,

@@ -357,3 +357,74 @@ class TestCapPerSource:
         got = pipelineops.cap_per_source(docs, cap=10).collect()
         assert len(got) == 6
         assert set(docs.columns) == set(got[0].asDict().keys())
+
+
+class TestWeightedSample:
+    def test_extremes_and_determinism(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(200)], "doc_id long, text string"
+        )
+        none = pipelineops.weighted_sample(
+            docs.withColumn("w", F.lit(0.0)), "w"
+        ).count()
+        everything = pipelineops.weighted_sample(
+            docs.withColumn("w", F.lit(1.0)), "w"
+        ).count()
+        assert none == 0 and everything == 200
+        half = pipelineops.weighted_sample(docs.withColumn("w", F.lit(0.5)), "w")
+        ids1 = sorted(r["doc_id"] for r in half.collect())
+        ids2 = sorted(
+            r["doc_id"]
+            for r in pipelineops.weighted_sample(
+                docs.repartition(7).withColumn("w", F.lit(0.5)), "w"
+            ).collect()
+        )
+        assert ids1 == ids2 and 60 <= len(ids1) <= 140
+
+    def test_monotone_overlap_on_weight_change(self, spark):
+        """Raising a weight only ADDS rows; lowering only removes."""
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(300)], "doc_id long, text string"
+        )
+        lo = {
+            r["doc_id"]
+            for r in pipelineops.weighted_sample(
+                docs.withColumn("w", F.lit(0.3)), "w"
+            ).collect()
+        }
+        hi = {
+            r["doc_id"]
+            for r in pipelineops.weighted_sample(
+                docs.withColumn("w", F.lit(0.7)), "w"
+            ).collect()
+        }
+        assert lo <= hi
+
+
+def test_quality_logit_orders_obvious_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is on the mat of the house"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pipelineops.quality_logit(docs).collect()}
+    assert got[1]["quality_logit"] > got[2]["quality_logit"]
+    assert got[1]["keep"] and not got[2]["keep"]
+
+
+def test_mixture_weights_fracs_sum_to_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a", "one two three"),
+            (2, "en", "b", "four five"),
+            (3, "fr", "a", "six"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = pipelineops.mixture_weights(docs).collect()
+    assert {(r["lang"], r["source"]): r["n_tokens"] for r in rows} == {
+        ("en", "a"): 3, ("en", "b"): 2, ("fr", "a"): 1,
+    }
+    assert abs(sum(r["token_frac"] for r in rows) - 1.0) < 1e-6
