@@ -380,13 +380,21 @@ def minhash_lsh_pairs(
 
     ``banded`` lets a caller that needs the blocking relation more than
     once (e.g. :func:`minhash_dedup_keep`) compute/persist the expensive
-    signature pass a single time and share it.
+    signature pass a single time and share it.  When built here, the
+    banded relation is ``localCheckpoint()``ed: the plan consumes it up
+    to 3× (both self-join sides + cap counts) and Catalyst does not
+    reuse the exchange across a self-join, so without materialization
+    the shingle explode + per-band MIN signature pass re-runs per
+    consumer.  localCheckpoint rather than persist(): a cached plan is
+    registered with the CacheManager and every later query's analysis
+    pays a subtree match against it; the checkpoint keeps the same rows
+    but truncates lineage (see neardup_clusters for the same pattern).
     """
     if banded is None:
         banded = minhash_banded(
             df, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        )
+        ).localCheckpoint()
     if max_bucket_size is not None:
         counts = (
             banded.groupBy("band", "key")
