@@ -1051,7 +1051,16 @@ def semantic_dedup(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         round_to=assign_round_to,
     )
-    assigned = ivf_assign(df, cents, vec_col=vec_col, round_to=assign_round_to)
+    # materialize the assignment once: the blocked pair join consumes it
+    # on BOTH self-join sides (plus the cap count), and without the
+    # checkpoint the k × dim argmax expression re-evaluates per consumer
+    # (measured ~2× the query wall at sf0.1).  Vectors ride the
+    # checkpoint here because the recompute above them (assignment over
+    # a trained-centroid expression) dominates; at extreme dims
+    # checkpoint ids-only and re-join vectors instead.
+    assigned = ivf_assign(
+        df, cents, vec_col=vec_col, round_to=assign_round_to
+    ).localCheckpoint()
     if max_cluster_size is not None:
         sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_cn"))
         ok = sizes.filter(F.col("_cn") <= max_cluster_size).select("centroid_id")
