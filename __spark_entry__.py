@@ -1127,6 +1127,13 @@ def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelineops.length_stats(_docs(spark, sf_dir), group_col="lang")
 
 
+def q_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Greenwald-Khanna percentile sketch (the 10^10-doc scale
+    path of length_stats); exact below the accuracy bound, so the
+    quantile_disc oracle matches bit-for-bit at this sf."""
+    return pipelineops.length_stats_approx(_docs(spark, sf_dir), group_col="lang")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% hash sample of the corpus."""
     return pipelineops.stratified_sample(_docs(spark, sf_dir), pct=10).select(
@@ -1228,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_corpus": q_dedup_against_corpus,
         "label_centroids": q_label_centroids,
         "length_stats": q_length_stats,
+        "length_stats_approx": q_length_stats_approx,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
         "quality_logit": q_quality_logit,
@@ -2250,6 +2258,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) AS mean_chars,
                    quantile_cont(n_chars, 0.5) AS median_chars,
                    quantile_cont(n_chars, 0.95) AS p95_chars
+            FROM documents GROUP BY lang
+        """,
+        "length_stats_approx": """
+            SELECT lang, count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.5) AS median_chars,
+                   quantile_disc(n_chars, 0.95) AS p95_chars
             FROM documents GROUP BY lang
         """,
         "stratified_sample": f"""

@@ -362,6 +362,28 @@ def length_stats(docs: DataFrame, group_col: str = "lang") -> DataFrame:
     )
 
 
+def length_stats_approx(
+    docs: DataFrame, group_col: str = "lang", *, accuracy: int = 10_000
+) -> DataFrame:
+    """The 10^10-doc twin of :func:`length_stats`: one-pass
+    ``percentile_approx`` sketches (Greenwald-Khanna) instead of exact
+    interpolated percentiles — no per-group sort, bounded state per
+    group, rank error ≤ 1/``accuracy``.  Returns ELEMENTS of the data
+    (discrete percentiles), so the exact-oracle twin is
+    ``quantile_disc``, not ``quantile_cont``; when group cardinality is
+    below ``accuracy`` the sketch is exact and the oracle match is
+    bit-for-bit."""
+    return docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(accuracy)).alias(
+            "median_chars"
+        ),
+        F.percentile_approx("n_chars", F.lit(0.95), F.lit(accuracy)).alias(
+            "p95_chars"
+        ),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     pct: int = 10,

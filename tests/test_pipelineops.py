@@ -428,3 +428,17 @@ def test_mixture_weights_fracs_sum_to_one(spark):
         ("en", "a"): 3, ("en", "b"): 2, ("fr", "a"): 1,
     }
     assert abs(sum(r["token_frac"] for r in rows) - 1.0) < 1e-6
+
+
+def test_length_stats_approx_exact_regime_matches_sorted_percentiles(spark):
+    """Below the accuracy bound the GK sketch returns exact discrete
+    percentiles (elements of the data, nearest-rank)."""
+    vals = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    docs = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate(vals)],
+        "doc_id long, lang string, n_chars long",
+    )
+    r = pipelineops.length_stats_approx(docs).collect()[0]
+    assert r["n_docs"] == 10
+    assert r["median_chars"] == 50   # nearest-rank lower median
+    assert r["p95_chars"] == 100
