@@ -1127,6 +1127,12 @@ def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelineops.length_stats(_docs(spark, sf_dir), group_col="lang")
 
 
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent 3-grams (boilerplate/template detector):
+    phrases in ≥ 5 distinct documents, with doc and occurrence counts."""
+    return pipelineops.frequent_ngrams(_docs(spark, sf_dir), k=3, min_docs=5)
+
+
 def q_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Greenwald-Khanna percentile sketch (the 10^10-doc scale
     path of length_stats); exact below the accuracy bound, so the
@@ -1236,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "length_stats": q_length_stats,
         "length_stats_approx": q_length_stats_approx,
+        "frequent_ngrams": q_frequent_ngrams,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
         "quality_logit": q_quality_logit,
@@ -2265,6 +2272,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.5) AS median_chars,
                    quantile_disc(n_chars, 0.95) AS p95_chars
             FROM documents GROUP BY lang
+        """,
+        "frequent_ngrams": f"""
+            WITH {_shingle_cte()}
+            SELECT sh AS gram, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 5
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, source FROM documents

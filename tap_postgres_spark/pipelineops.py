@@ -401,6 +401,39 @@ def stratified_sample(
     return docs.filter(bucket < pct)
 
 
+def frequent_ngrams(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level frequent word ``k``-grams: phrases appearing in at
+    least ``min_docs`` DISTINCT documents — the boilerplate/template
+    detector (nav menus, license headers, scraped-site chrome) run
+    before dedup, and the n-gram side of corpus-overlap audits.
+
+    One explode → one groupBy with partial aggregation; the distinct-doc
+    count is a two-phase aggregate (per-(gram, doc) partial first), so a
+    gram repeated 10^6× inside one document contributes one shuffle row,
+    not 10^6.  Output cardinality is bounded by the distinct-gram count
+    — and the ``min_docs`` filter cuts it to the (tiny) frequent tail."""
+    from .textops import shingles
+
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("gram")
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     weight_col: Column | str,

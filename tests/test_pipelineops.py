@@ -442,3 +442,21 @@ def test_length_stats_approx_exact_regime_matches_sorted_percentiles(spark):
     assert r["n_docs"] == 10
     assert r["median_chars"] == 50   # nearest-rank lower median
     assert r["p95_chars"] == 100
+
+
+def test_frequent_ngrams_counts_docs_and_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),      # "a b c" twice in one doc
+            (2, "a b c d"),
+            (3, "a b c"),
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["gram"]: (r["n_docs"], r["n_occurrences"])
+        for r in pipelineops.frequent_ngrams(docs, k=3, min_docs=3).collect()
+    }
+    # "a b c" appears in docs 1,2,3 (distinct=3) with 4 total occurrences
+    assert got == {"a b c": (3, 4)}
