@@ -719,3 +719,76 @@ class LakeTable:
         )
         self._buckets_cache[new_version] = buckets
         return {"skipped": False, "version": new_version, "compacted": len(todo)}
+
+    def expire_versions(self, keep_last: int = 10) -> dict[str, Any]:
+        """Snapshot retention (the Iceberg ``expire_snapshots`` analog):
+        keep the newest ``keep_last`` versions readable, delete metadata
+        and data dirs referenced ONLY by older versions.
+
+        Without expiration a CDC table's history grows without bound —
+        every merge appends delta dirs and every compact strands the
+        dirs it folded (they stay on disk for time travel).  At 10^5
+        commits that is the dominant storage cost, so expiration is the
+        third maintenance op next to tiered/full compaction.
+
+        Mechanics: the survivor set is the union of every kept version's
+        resolved bucket map (which also covers the changelog dirs
+        ``read_changes`` needs for kept merge versions); everything else
+        under ``data/`` is removed.  The oldest kept version's manifest
+        is rewritten with its FULL resolved bucket map and ``parent:
+        null`` so the metadata chain never dangles (its ``committed_at``
+        stamp is preserved — timestamp time travel inside the kept
+        window is unaffected).  Reads/changelogs addressing expired
+        versions raise cleanly; that is the retention contract, same as
+        Iceberg's.
+        """
+        import shutil
+
+        cur = self.current_version()
+        floor = max(1, cur - int(keep_last) + 1)
+        mdir = os.path.join(self.path, "metadata")
+        existing = sorted(
+            int(f[1:9]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        expire = [v for v in existing if v < floor]
+        if not expire:
+            return {"skipped": True, "reason": f"nothing below v{floor}"}
+        # resolve BEFORE deleting anything (resolution may walk parents)
+        kept_dirs: set[str] = set()
+        for v in existing:
+            if v >= floor:
+                for dl in self.buckets_map(v).values():
+                    kept_dirs.update(dl)
+        floor_meta = self.metadata(floor)
+        floor_full = self.buckets_map(floor)
+        # rewrite the floor manifest as a self-contained checkpoint
+        floor_meta.pop("buckets_delta", None)
+        floor_meta["buckets"] = floor_full
+        floor_meta["parent"] = None
+        floor_meta["expired_below"] = True
+        with open(os.path.join(mdir, f"v{floor:08d}.json"), "w") as f:
+            json.dump(floor_meta, f, indent=1, sort_keys=True)
+        # drop expired manifests, then any data dir no kept version references
+        for v in expire:
+            os.unlink(os.path.join(mdir, f"v{v:08d}.json"))
+        # bucket-map entries are per-bucket subdirs ("data/v…/_bucket=N");
+        # reclaim at the commit-dir level: a commit dir survives if ANY of
+        # its bucket subdirs is still referenced
+        kept_commit_dirs = {d.split("/")[1] for d in kept_dirs if d.startswith("data/")}
+        data_root = os.path.join(self.path, "data")
+        removed = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if d not in kept_commit_dirs:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed += 1
+        self._buckets_cache = {
+            v: m for v, m in self._buckets_cache.items() if v >= floor
+        }
+        return {
+            "skipped": False,
+            "expired_versions": expire,
+            "floor_version": floor,
+            "data_dirs_removed": removed,
+        }

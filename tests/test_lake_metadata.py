@@ -253,3 +253,60 @@ def test_timestamp_time_travel(spark, tmp_path):
     # every version carries its own commit stamp (no inherited parent stamp)
     stamps = [t.metadata(v)["committed_at"] for v in range(1, t.current_version() + 1)]
     assert len(set(stamps)) == len(stamps)
+
+
+class TestExpireVersions:
+    def _table(self, spark, tmp_path):
+        from tests.test_lake_merge import SCHEMA, _batch
+
+        t = LakeTable.create(spark, str(tmp_path / "exp"), SCHEMA, ["repo", "path"], num_buckets=2)
+        for i in range(5):
+            t.merge_into(
+                _batch(spark, [("r1", "a", f"v{i}", 10 + i, None),
+                               ("r1", f"k{i}", "x", 20 + i, None)]),
+                epoch_id=f"e{i}",
+            )
+        return t
+
+    def test_expire_keeps_recent_reads_and_removes_old(self, spark, tmp_path):
+        import os
+
+        t = self._table(spark, tmp_path)
+        cur = t.current_version()
+        before = t.read().collect()
+        n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+        res = t.expire_versions(keep_last=2)
+        assert not res["skipped"] and res["floor_version"] == cur - 1
+        # current state identical
+        assert sorted(map(tuple, t.read().collect())) == sorted(map(tuple, before))
+        # kept window still time-travels; expired versions raise
+        assert t.read(version=cur - 1).count() >= 0
+        with pytest.raises(FileNotFoundError):
+            t.metadata(cur - 2)
+        # changelog within the kept window still works
+        assert t.read_changes(cur - 1).count() > 0
+        # history stops at the rewritten floor
+        assert [h["version"] for h in t.history()] == [cur, cur - 1]
+        assert len(os.listdir(os.path.join(t.path, "data"))) <= n_dirs_before
+
+    def test_expire_after_compact_reclaims_folded_dirs(self, spark, tmp_path):
+        import os
+
+        t = self._table(spark, tmp_path)
+        t.compact(max_delta_depth=1)  # strands the folded delta dirs
+        data_root = os.path.join(t.path, "data")
+        n_before = len(os.listdir(data_root))
+        res = t.expire_versions(keep_last=1)
+        assert res["data_dirs_removed"] > 0
+        assert len(os.listdir(data_root)) < n_before
+        # the compacted head still reads fully
+        assert t.read().count() == 6  # key a + k0..k4
+        # merges continue cleanly after expiration
+        from tests.test_lake_merge import _batch
+
+        t.merge_into(_batch(spark, [("r1", "a", "post", 99, None)]), epoch_id="post")
+        assert t.read().filter("path = 'a'").collect()[0]["content"] == "post"
+
+    def test_expire_noop_when_history_short(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        assert t.expire_versions(keep_last=50)["skipped"]
