@@ -460,3 +460,43 @@ def test_frequent_ngrams_counts_docs_and_occurrences(spark):
     }
     # "a b c" appears in docs 1,2,3 (distinct=3) with 4 total occurrences
     assert got == {"a b c": (3, 4)}
+
+
+def test_property_cap_per_source_equals_plain_rank(spark):
+    """Hypothesis: for random corpora and cap/salt settings, the salted
+    two-stage rank selects exactly the plain global rank's rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from tap_postgres_spark.functions import md5_60bit
+
+    corpus = st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(rows=corpus, cap=st.integers(1, 8), n_salt=st.integers(1, 5))
+    def check(rows, cap, n_salt):
+        docs = spark.createDataFrame(
+            [(i, s, "t") for i, s in rows], "doc_id long, source string, text string"
+        )
+        w = Window.partitionBy("source").orderBy(
+            md5_60bit(F.col("doc_id")).asc(), F.col("doc_id").asc()
+        )
+        plain = {
+            r["doc_id"]
+            for r in docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap).collect()
+        }
+        salted = {
+            r["doc_id"]
+            for r in pipelineops.cap_per_source(
+                docs, cap=cap, n_salt=n_salt
+            ).collect()
+        }
+        assert salted == plain
+
+    check()
