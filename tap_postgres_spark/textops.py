@@ -52,19 +52,27 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings ('w1 w2 w3')."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    """Word k-shingles as strings ('w1 w2 w3').
+
+    The token array is bound ONCE (single-element array + transform, so
+    every inner reference is a lambda VARIABLE) and shingles assemble
+    via ``zip_with`` over ``k`` shifted slices.  The previous form
+    indexed ``element_at(tokens(text), i+j)`` inside the transform
+    lambda, which re-evaluates the regex tokenizer per element —
+    O(tokens·k) tokenizations per document, measured ~9× slower at
+    sf0.1 (the same trap documented at :func:`pipelineops._bigrams`)."""
+
+    def _of(t: Column) -> Column:
+        n = F.size(t)
+        win = n - (k - 1)
+        out = F.slice(t, 1, win)
+        for j in range(1, k):
+            out = F.zip_with(
+                out, F.slice(t, j + 1, win), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(n >= k, out).otherwise(F.array(F.concat_ws(" ", t)))
+
+    return F.get(F.transform(F.array(tokens(text)), _of), 0)
 
 
 # ---------------------------------------------------------------------------
