@@ -488,3 +488,36 @@ def test_ann_paths_recall_vs_exact(spark, emb, emb_np):
     # 0.4 on the weak-locality corpus
     cbs = vectorops.pq_codebooks(emb, m=8, k=16)
     assert recall(vectorops.pq_adc_topk(emb, q, cbs, k=10)) >= 0.3
+
+
+def test_pq_codebooks_trained_drop_in_and_improves_distortion(spark, emb, emb_np):
+    """Trained codebooks slot into the same encode/ADC machinery and cut
+    (or at worst match) mean quantization distortion vs sampled ones."""
+    ids, mat = emb_np
+    sampled = vectorops.pq_codebooks(emb, m=8, k=8)
+    trained = vectorops.pq_codebooks_trained(emb, m=8, k=8, n_iter=1)
+    # deterministic: second run identical
+    assert trained == vectorops.pq_codebooks_trained(emb, m=8, k=8, n_iter=1)
+    m, sub = 8, mat.shape[1] // 8
+
+    def distortion(cbs):
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in vectorops.pq_encode(emb, cbs).collect()
+        }
+        tot = 0.0
+        for i, vid in enumerate(ids):
+            for s in range(m):
+                # codebooks may drop empty clusters: cid -> index lookup
+                cb = dict(cbs[s])
+                cvec = np.array(cb[sorted(cb)[0]] if codes[int(vid)][s] not in cb
+                                else cb[codes[int(vid)][s]])
+                xs = mat[i, s * sub : (s + 1) * sub]
+                tot += float(((xs - cvec) ** 2).sum())
+        return tot / len(ids)
+
+    assert distortion(trained) <= distortion(sampled) * 1.01
+    # drop-in: ADC top-k runs and returns k rows
+    q = list(mat[0])
+    got = vectorops.pq_adc_topk(emb, q, trained, k=5).collect()
+    assert len(got) == 5
