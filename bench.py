@@ -108,14 +108,25 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
         os.environ.get("SPARK_GRAFT_BENCH_EVENTS", max(100_000, int(20_000_000 * sf)))
     )
     n_keys = max(10_000, n_events // 8)
+    # SPARK_GRAFT_BENCH_STREAMS>1 interleaves N tables into ONE feed (the
+    # reference's single-connection-multi-table shape): one scan + one
+    # parse serves every stream, each stream folds and merges its own rows
+    n_streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "1"))
+    tbl_names = (
+        ("source_code_repos",)
+        if n_streams == 1
+        else tuple(f"source_code_repos_{i}" for i in range(n_streams))
+    )
 
-    feed_dir = os.path.join(work_dir, f"bulk-feed-{n_events}")
+    suffix = "" if n_streams == 1 else f"-s{n_streams}"
+    feed_dir = os.path.join(work_dir, f"bulk-feed-{n_events}{suffix}")
     if not os.path.exists(os.path.join(feed_dir, "_DONE")):
         shutil.rmtree(feed_dir, ignore_errors=True)
         # ≥32 files per batch so every parallelism level has enough scan
         # tasks (the parse stage is the CPU-heavy one)
         generate_bulk_feed(
-            feed_dir, n_events=n_events, n_keys=n_keys, n_files=max(n_batches * 32, 64)
+            feed_dir, n_events=n_events, n_keys=n_keys,
+            n_files=max(n_batches * 32, 64), tables=tbl_names,
         )
         open(os.path.join(feed_dir, "_DONE"), "w").write("ok")
 
@@ -128,8 +139,8 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
             T.StructField("content", T.StringType(), True),
         ]
     )
-    fqn = "public.source_code_repos"
-    table_dir = os.path.join(work_dir, "lake", "source_code_repos")
+    fqns = [f"public.{t}" for t in tbl_names]
+    table_dirs = {t: os.path.join(work_dir, "lake", t) for t in tbl_names}
     state_path = os.path.join(work_dir, "bench-state.json")
     files = sorted(
         f for f in os.listdir(feed_dir) if f.endswith(".parquet")
@@ -142,24 +153,32 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
 
     def one_run() -> tuple[float, object, dict]:
         """Fresh table + state, full replay, tiered end maintenance."""
-        shutil.rmtree(table_dir, ignore_errors=True)
+        for d in table_dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
         if os.path.exists(state_path):
             os.unlink(state_path)
-        table = LakeTable.create(
-            spark, table_dir, widen_for_cdc(schema), ["repo", "path"], num_buckets=64
-        )
-        stream = StreamDef(
-            schema_name="public",
-            table_name="source_code_repos",
-            spark_schema=schema,
-            key_properties=("repo", "path"),
-        )
+        tables = {
+            f"public.{t}": LakeTable.create(
+                spark, d, widen_for_cdc(schema), ["repo", "path"], num_buckets=64
+            )
+            for t, d in table_dirs.items()
+        }
+        streams = [
+            StreamDef(
+                schema_name="public",
+                table_name=t,
+                spark_schema=schema,
+                key_properties=("repo", "path"),
+            )
+            for t in tbl_names
+        ]
+        pg = {"repo": "text", "path": "text", "commit": "text",
+              "lang": "text", "content": "text"}
         pipeline = CdcPipeline(
             spark,
-            [stream],
-            {fqn: {"repo": "text", "path": "text", "commit": "text",
-                   "lang": "text", "content": "text"}},
-            {fqn: table},
+            streams,
+            {f: pg for f in fqns},
+            tables,
             StateStore(state_path),
             metrics_dir=os.path.join(work_dir, "metrics"),
             detect_evolution=True,
@@ -178,7 +197,8 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
         # never pays an O(table) full rewrite inside the ingest path; the
         # pipeline's auto-compaction runs the same tiered mode with a
         # periodic full pass
-        table.compact(max_delta_depth=1, include_base=False)
+        for t in tables.values():
+            t.compact(max_delta_depth=1, include_base=False)
         elapsed = time.time() - t0
         d = [b - a for a, b in zip(c0, cpu_snap())]
         tot = max(sum(d), 1)
@@ -188,7 +208,7 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
             "idle": round(100 * d[3] / tot),  # system+steal is the host,
             "steal": round(100 * d[7] / tot),  # not the engine
         }
-        return elapsed, table, cpu
+        return elapsed, tables, cpu
 
     _warmup_pipeline(spark, work_dir)
     # the sandbox host is shared (measured CPU steal up to 33% and kernel
@@ -198,10 +218,10 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
     samples = []
     cpu_samples = []
-    table = None
+    tables = None
     elapsed = None
     for _ in range(n_samples):
-        run_s, table, cpu = one_run()  # every run rebuilds table_dir from
+        run_s, tables, cpu = one_run()  # every run rebuilds table_dir from
         samples.append(round(n_events / run_s, 1))  # scratch; replay is
         cpu_samples.append(cpu)  # deterministic so the last table's state
         if elapsed is None or run_s < elapsed:  # is THE state — verify
@@ -210,48 +230,54 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
     # --- verify: 60-bit-hash-sum certificate vs independent DuckDB fold ---
     # modular hash-sum (mod 1e6+3) keeps the certificate inside int64 even
     # at 10^10 rows; row-level sha256 equality is pinned in pytest
-    final = table.read()
-    cert = final.select(
-        F.sum(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws("|", "repo", "path", F.coalesce("commit", F.lit("")),
-                                    F.coalesce("content", F.lit("")))
-                    ), 1, 15,
-                ), 16, 10,
-            ).cast("long") % 1_000_003
-        ).alias("s"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-
     duck = duckdb.connect()
-    exp = duck.sql(
-        f"""
-        WITH ev AS (
-          SELECT lsn,
-                 json_extract_string(payload, '$.action') AS action,
-                 coalesce(json_extract_string(payload, '$.columns[0].value'),
-                          json_extract_string(payload, '$.identity[0].value')) AS repo,
-                 coalesce(json_extract_string(payload, '$.columns[1].value'),
-                          json_extract_string(payload, '$.identity[1].value')) AS path,
-                 json_extract_string(payload, '$.columns[2].value') AS commit,
-                 json_extract_string(payload, '$.columns[4].value') AS content
-          FROM read_parquet('{feed_dir}/feed-*.parquet')
-        ),
-        latest AS (
-          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
-          FROM ev
-        )
-        SELECT sum((('0x' || substr(md5(repo || '|' || path || '|' ||
-                    coalesce(commit, '') || '|' || coalesce(content, '')), 1, 15))::bigint)
-                   % 1000003)::bigint AS s,
-               count(*) AS n
-        FROM latest WHERE rn = 1 AND action <> 'D'
-        """
-    ).fetchone()
-    # NOTE the '|' separator layout must match the Spark concat_ws above
-    ok = (cert["n"] == exp[1]) and (cert["s"] == exp[0])
+    ok = True
+    total_rows = 0
+    for t in tbl_names:
+        final = tables[f"public.{t}"].read()
+        cert = final.select(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", "repo", "path", F.coalesce("commit", F.lit("")),
+                                        F.coalesce("content", F.lit("")))
+                        ), 1, 15,
+                    ), 16, 10,
+                ).cast("long") % 1_000_003
+            ).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        exp = duck.sql(
+            f"""
+            WITH ev AS (
+              SELECT lsn,
+                     json_extract_string(payload, '$.action') AS action,
+                     json_extract_string(payload, '$.table') AS tbl,
+                     coalesce(json_extract_string(payload, '$.columns[0].value'),
+                              json_extract_string(payload, '$.identity[0].value')) AS repo,
+                     coalesce(json_extract_string(payload, '$.columns[1].value'),
+                              json_extract_string(payload, '$.identity[1].value')) AS path,
+                     json_extract_string(payload, '$.columns[2].value') AS commit,
+                     json_extract_string(payload, '$.columns[4].value') AS content
+              FROM read_parquet('{feed_dir}/feed-*.parquet')
+            ),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+              FROM ev WHERE tbl = '{t}'
+            )
+            SELECT sum((('0x' || substr(md5(repo || '|' || path || '|' ||
+                        coalesce(commit, '') || '|' || coalesce(content, '')), 1, 15))::bigint)
+                       % 1000003)::bigint AS s,
+                   count(*) AS n
+            FROM latest WHERE rn = 1 AND action <> 'D'
+            """
+        ).fetchone()
+        # NOTE the '|' separator layout must match the Spark concat_ws above
+        ok = ok and (cert["n"] == exp[1]) and (cert["s"] == exp[0])
+        total_rows += cert["n"]
+    cert = {"n": total_rows, "s": "per-table"}
+    exp = "per-table" 
     return {
         "events": n_events,
         "batches": n_batches,
@@ -261,6 +287,7 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
         "samples_cpu_pct": cpu_samples,
         "final_rows": cert["n"],
         "warmup": "jit-excluded (2k-event throwaway pipeline before timer)",
+        "streams": n_streams,
         "verify": "ok" if ok else f"MISMATCH spark=({cert['s']},{cert['n']}) duck={exp}",
     }
 

@@ -424,6 +424,7 @@ def generate_bulk_feed(
     pct_update: float = 0.55,
     skew: float = 1.1,
     base_lsn: int = 1_000_000,
+    tables: tuple[str, ...] = ("source_code_repos",),
 ) -> dict[str, Any]:
     """Vectorized wal2json feed at bench scale.
 
@@ -431,6 +432,11 @@ def generate_bulk_feed(
     pure Python would bottleneck the *generator*, not the engine).  Keys
     are drawn zipf-skewed so the hot-repo path is exercised at scale.
     Returns a manifest incl. the expected-final-state recipe.
+
+    ``tables`` interleaves events for several tables into ONE feed (the
+    reference's single-connection-multi-table WAL shape, tap.py:537-547)
+    — each key belongs to exactly one table (``key_id %% len(tables)``)
+    so every table's final state folds independently.
     """
     import numpy as np
     import pandas as pd
@@ -494,8 +500,9 @@ def generate_bulk_feed(
             + "\nfn main() { return " + kc.astype(str) + "; }\n"
         )
         ac = pd.Series(action[sl])
+        tbl = pd.Series(np.asarray(tables, dtype=object)[(kc % len(tables)).to_numpy()])
         cols_json = (
-            '{"action":"' + ac + '","schema":"public","table":"source_code_repos",'
+            '{"action":"' + ac + '","schema":"public","table":"' + tbl + '",'
         )
         full_image = (
             '"columns":[{"name":"repo","type":"text","value":"' + esc(repo.astype(str))
@@ -522,4 +529,5 @@ def generate_bulk_feed(
         "seed": seed,
         "files": n_files,
         "max_lsn": int(lsn[-1]),
+        "tables": list(tables),
     }

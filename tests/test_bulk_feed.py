@@ -76,3 +76,55 @@ def test_bulk_feed_replay_matches_duckdb_fold(spark, tmp_path):
         """
     ).fetchone()
     assert (got["s"], got["n"]) == exp
+
+
+def test_bulk_feed_multi_table_routes_and_folds(spark, tmp_path):
+    """tables=N interleaves N tables into one feed (single-connection
+    multi-table shape); each key belongs to exactly one table, so the
+    per-table folds partition the key universe."""
+    import duckdb
+
+    from tap_postgres_spark.feedgen import generate_bulk_feed
+
+    out = str(tmp_path / "mt")
+    man = generate_bulk_feed(
+        out, n_events=5_000, n_keys=500, n_files=4,
+        tables=("t_a", "t_b"),
+    )
+    assert man["tables"] == ["t_a", "t_b"]
+    con = duckdb.connect()
+    tbls = con.sql(
+        f"""SELECT json_extract_string(payload, '$.table') AS t,
+                   count(*) FROM read_parquet('{out}/feed-*.parquet') GROUP BY t"""
+    ).fetchall()
+    assert {t for t, _ in tbls} == {"t_a", "t_b"}
+    assert all(n > 1000 for _, n in tbls)
+    # key → table is a function: no (repo,path) appears under both tables
+    overlap = con.sql(
+        f"""
+        WITH k AS (SELECT DISTINCT json_extract_string(payload, '$.table') AS t,
+                   coalesce(json_extract_string(payload, '$.columns[1].value'),
+                            json_extract_string(payload, '$.identity[1].value')) AS path
+                   FROM read_parquet('{out}/feed-*.parquet'))
+        SELECT count(*) FROM (SELECT path FROM k GROUP BY path HAVING count(DISTINCT t) > 1)
+        """
+    ).fetchone()[0]
+    assert overlap == 0
+
+
+def test_bulk_feed_single_table_unchanged_by_tables_param(spark, tmp_path):
+    """Default tables=() keeps byte-identical output (cached feed dirs and
+    recorded bench numbers stay comparable)."""
+    import hashlib
+    import os
+
+    from tap_postgres_spark.feedgen import generate_bulk_feed
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_bulk_feed(a, n_events=2_000, n_keys=100, n_files=2)
+    generate_bulk_feed(b, n_events=2_000, n_keys=100, n_files=2,
+                       tables=("source_code_repos",))
+    for f in sorted(os.listdir(a)):
+        ha = hashlib.md5(open(os.path.join(a, f), "rb").read()).hexdigest()
+        hb = hashlib.md5(open(os.path.join(b, f), "rb").read()).hexdigest()
+        assert ha == hb, f
