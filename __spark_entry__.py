@@ -1127,6 +1127,18 @@ def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelineops.length_stats(_docs(spark, sf_dir), group_col="lang")
 
 
+_MIX_TARGETS = {"en": 0.4, "fr": 0.25, "de": 0.25}  # es/zh dropped
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data mixer: per-language keep-probability
+    min(1, target_token_frac / current_token_frac), decided by the
+    key-hash uniform — composed from mixture stats + weighted_sample."""
+    return pipelineops.build_training_mix(
+        _docs(spark, sf_dir), _MIX_TARGETS
+    ).select("doc_id", "lang")
+
+
 def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level frequent 3-grams (boilerplate/template detector):
     phrases in ≥ 5 distinct documents, with doc and occurrence counts."""
@@ -1243,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": q_length_stats,
         "length_stats_approx": q_length_stats_approx,
         "frequent_ngrams": q_frequent_ngrams,
+        "training_mix": q_training_mix,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
         "quality_logit": q_quality_logit,
@@ -2278,6 +2291,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh AS gram, count(DISTINCT doc_id) AS n_docs,
                    count(*) AS n_occurrences
             FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 5
+        """,
+        "training_mix": f"""
+            WITH st AS (SELECT lang, sum(len({_TOKS})) AS nt
+                        FROM documents GROUP BY lang),
+            tot AS (SELECT sum(nt) AS t FROM st),
+            wt AS (SELECT lang,
+                          least(1.0,
+                                (CASE lang WHEN 'en' THEN 0.4
+                                           WHEN 'fr' THEN 0.25
+                                           WHEN 'de' THEN 0.25
+                                           ELSE 0.0 END)
+                                / (nt / t)) AS w
+                   FROM st, tot)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN wt USING (lang)
+            WHERE ({_H60.format(expr="d.doc_id::VARCHAR")} % 1000000) / 1000000.0
+                  < wt.w
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, source FROM documents

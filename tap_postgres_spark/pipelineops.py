@@ -523,6 +523,45 @@ def mixture_weights(
     )
 
 
+def build_training_mix(
+    docs: DataFrame,
+    targets: dict[str, float],
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass data mixer: downsample each group toward a target token
+    fraction.  Group ``g``'s keep-probability is
+    ``min(1, target_frac_g / current_frac_g)`` — the standard
+    downsampling mixer (a one-pass mixer can only REMOVE; upsampling is
+    repetition, i.e. the shard builder's job).  Groups absent from
+    ``targets`` are dropped (target 0).
+
+    Composition of the pieces this module already ships: one
+    map-side-combined stats aggregate (|groups| rows, collected to the
+    driver and inlined as literals — the broadcast-by-value pattern),
+    then :func:`weighted_sample`'s key-hash uniform, so the mix is
+    reproducible across runs/partitionings and monotone under target
+    changes (retargeting moves only the rows whose group weight
+    changed)."""
+    stats = docs.groupBy(group_col).agg(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("_nt")
+    ).collect()
+    total = sum(r["_nt"] for r in stats)
+    weights = {}
+    for r in stats:
+        frac = r["_nt"] / total if total else 0.0
+        tgt = float(targets.get(r[group_col], 0.0))
+        weights[r[group_col]] = min(1.0, tgt / frac) if frac > 0 else 0.0
+    w = None
+    for g, wt in sorted(weights.items()):
+        cond = F.when(F.col(group_col) == g, F.lit(wt))
+        w = cond if w is None else w.when(F.col(group_col) == g, F.lit(wt))
+    w = (w.otherwise(F.lit(0.0)) if w is not None else F.lit(0.0)).alias("_w")
+    return weighted_sample(docs.select("*", w), "_w", key_col=key_col).drop("_w")
+
+
 def cap_per_source(
     docs: DataFrame,
     cap: int = 100,

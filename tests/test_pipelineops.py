@@ -500,3 +500,24 @@ def test_property_cap_per_source_equals_plain_rank(spark):
         assert salted == plain
 
     check()
+
+
+def test_build_training_mix_downsamples_toward_targets(spark):
+    # 'a' dominates tokens 4:1; target 50/50 → 'a' downsampled ~4x, 'b' kept
+    docs = spark.createDataFrame(
+        [(i, "a", "w " * 8) for i in range(400)]
+        + [(1000 + i, "b", "w " * 8) for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    kept = pipelineops.build_training_mix(docs, {"a": 0.5, "b": 0.5}).collect()
+    by = {}
+    for r in kept:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    assert by["b"] == 100                 # under target → weight 1, all kept
+    # weight for a = min(1, 0.5/0.8) = 0.625 → expect ~250; hash-uniform
+    # tolerance is wide but deterministic
+    assert 200 <= by["a"] <= 300
+
+    # groups absent from targets are dropped entirely
+    kept2 = pipelineops.build_training_mix(docs, {"b": 1.0}).collect()
+    assert all(r["lang"] == "b" for r in kept2) and len(kept2) == 100
