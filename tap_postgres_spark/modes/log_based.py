@@ -98,6 +98,7 @@ class CdcPipeline:
         stream_maps: dict[str, dict] | None = None,
         full_compact_every: int = 8,
         dead_letter_dir: str | None = None,
+        retention_keep_last: int | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -117,6 +118,12 @@ class CdcPipeline:
         self.merge_mode = merge_mode
         self.full_compact_every = max(1, int(full_compact_every))
         self.dead_letter_dir = dead_letter_dir
+        # snapshot retention: after each FULL compaction, expire versions
+        # beyond the newest ``retention_keep_last`` (None = keep all).
+        # Riding the full-compact cadence keeps expiration off the
+        # per-batch path and guarantees the expired range never includes
+        # uncompacted deltas a reader could still need.
+        self.retention_keep_last = retention_keep_last
         self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
@@ -352,6 +359,10 @@ class CdcPipeline:
                                 int(floor) if floor is not None else None
                             )
                         )
+                        if self.retention_keep_last is not None:
+                            results[fqn]["retention"] = table.expire_versions(
+                                keep_last=self.retention_keep_last
+                            )
                     else:
                         results[fqn]["compaction"] = table.compact(
                             include_base=False

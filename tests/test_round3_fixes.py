@@ -76,3 +76,58 @@ def test_decode_wav_intact_still_ok():
     wav = multimodal.encode_wav(multimodal.synth_samples(3, n=64))
     out = multimodal.decode_wav(wav)
     assert out["n_samples"] == 64 and out["sample_rate"] == 8000
+
+
+def test_pipeline_retention_expires_after_full_compact(spark, tmp_path):
+    """retention_keep_last rides the full-compact cadence: history is
+    bounded, current state stays oracle-correct, ingest continues."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+    from tests.test_round2_fixes import _payload
+
+    base = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    stream = StreamDef("public", "t_a", base, ("id",))
+    table = LakeTable.create(
+        spark, str(tmp_path / "t_a"), widen_for_cdc(base), ["id"], num_buckets=2
+    )
+    pipe = CdcPipeline(
+        spark, [stream], {"public.t_a": {"id": "text", "v": "text"}},
+        {"public.t_a": table}, StateStore(str(tmp_path / "s.json")),
+        auto_compact_depth=2, full_compact_every=2, retention_keep_last=4,
+    )
+    lsn = 0
+    retention_fired = False
+    for i in range(12):
+        lsn += 1
+        raw = spark.createDataFrame(
+            [(lsn, 1, _payload("I", "t_a", id=f"k{i % 3}", v=f"v{i}"))],
+            "lsn long, txid long, payload string",
+        )
+        res = pipe.apply_batch(raw, epoch_id=f"e{i}")
+        if res["streams"]["public.t_a"].get("retention", {}).get("skipped") is False:
+            retention_fired = True
+    assert retention_fired
+    # history bounded: without retention ~30 versions accumulate over the
+    # run; with it, only the tail since the last firing plus the window
+    # survives (a batch creates up to 3 versions, full compact fires
+    # every 2nd depth trigger)
+    total_versions = table.current_version()
+    assert total_versions > 14
+    assert len(table.history()) < total_versions / 2
+    # state still correct and the table still ingests
+    state = {r["id"]: r["v"] for r in table.read().collect()}
+    assert state == {"k0": "v9", "k1": "v10", "k2": "v11"}
+    # a final manual expiration bounds the window exactly
+    table.expire_versions(keep_last=2)
+    assert len(table.history()) <= 2
+    mfiles = os.listdir(os.path.join(table.path, "metadata"))
+    assert len([f for f in mfiles if f.endswith(".json")]) <= 2
+    assert {r["id"] for r in table.read().collect()} == {"k0", "k1", "k2"}
