@@ -162,6 +162,7 @@ def _sync_log_based(
         state,
         metrics_dir=f"{lake_path}/_metrics",
         dead_letter_dir=config.get("dead_letter_dir"),
+        retention_keep_last=config.get("retention_keep_last"),
     )
     runner = StreamingCdcRunner(
         pipeline,
@@ -232,7 +233,7 @@ _CONFIG_KEYS = {
     "source_dir", "filter_tables", "key_properties", "replication",
     "wal_feed_dir", "lake_dir", "checkpoint_dir", "dead_letter_dir",
     "pg_types", "num_buckets", "max_files_per_trigger", "start_date",
-    "stream_maps", "stream_map_config", "spark",
+    "stream_maps", "stream_map_config", "spark", "retention_keep_last",
 }
 
 
@@ -247,6 +248,8 @@ def about() -> dict[str, Any]:
             "exactly-once lake sink (idempotent MERGE + epoch dedup)",
             "schema evolution (additive)", "dead-letter quarantine",
             "snapshot-to-stream bootstrap", "timestamp time travel",
+            "snapshot retention (expire_versions)",
+            "incrementally-maintained derived tables",
         ],
         "settings": sorted(_CONFIG_KEYS),
     }
