@@ -183,6 +183,7 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
             metrics_dir=os.path.join(work_dir, "metrics"),
             detect_evolution=True,
             merge_mode="mor",
+            concurrent_merges=min(n_streams, 4),
         )
         c0 = cpu_snap()
         t0 = time.time()

@@ -99,6 +99,7 @@ class CdcPipeline:
         full_compact_every: int = 8,
         dead_letter_dir: str | None = None,
         retention_keep_last: int | None = None,
+        concurrent_merges: int = 1,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -124,6 +125,16 @@ class CdcPipeline:
         # per-batch path and guarantees the expired range never includes
         # uncompacted deltas a reader could still need.
         self.retention_keep_last = retention_keep_last
+        # >1 submits independent per-stream merges from a thread pool so
+        # their Spark jobs overlap (local + cluster schedulers both
+        # interleave concurrent job task-sets).  Safe because each merge
+        # writes its OWN table (commit = atomic per-table pointer swap)
+        # and bookmark/state updates happen after the batch; the shared
+        # cached ``classified`` batch is materialized once under Spark's
+        # block-level locks.  Sequential merges leave a 3-stream batch
+        # >50% idle on 32 cores (measured) — each stream's fold/write is
+        # too narrow alone.
+        self.concurrent_merges = max(1, int(concurrent_merges))
         self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
@@ -230,6 +241,7 @@ class CdcPipeline:
             results: dict[str, Any] = {}
             observed_df = None
             obs_fired = False
+            merge_jobs: list[tuple[str, Any, bool]] = []
             for fqn, stream in list(self.streams.items()):
                 proj = decode_projection(
                     classified,
@@ -242,13 +254,33 @@ class CdcPipeline:
                 decoded = self._apply_stream_map(
                     finish_decode(proj, stream, self.state.bookmark(fqn)), stream
                 )
-                table = self.tables[fqn]
-                results[fqn] = table.merge_into(
+                merge_jobs.append((fqn, decoded, proj is observed_df))
+
+            def _merge(fqn: str, decoded) -> dict[str, Any]:
+                return self.tables[fqn].merge_into(
                     decoded, epoch_id=f"{epoch_id}:{fqn}",
                     fold="agg", mode=self.merge_mode,
                 )
-                if proj is observed_df and not results[fqn].get("skipped"):
-                    obs_fired = True
+
+            if self.concurrent_merges > 1 and len(merge_jobs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(self.concurrent_merges, len(merge_jobs))
+                ) as pool:
+                    futs = {
+                        fqn: pool.submit(_merge, fqn, decoded)
+                        for fqn, decoded, _o in merge_jobs
+                    }
+                    for fqn, _decoded, observed in merge_jobs:
+                        results[fqn] = futs[fqn].result()
+                        if observed and not results[fqn].get("skipped"):
+                            obs_fired = True
+            else:
+                for fqn, decoded, observed in merge_jobs:
+                    results[fqn] = _merge(fqn, decoded)
+                    if observed and not results[fqn].get("skipped"):
+                        obs_fired = True
 
             if not obs_fired:
                 # every observed-plan merge was an epoch-dedup no-op
