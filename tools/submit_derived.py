@@ -1,0 +1,78 @@
+"""spark-submit entry point: refresh a derived table off a CDC base table.
+
+The deployment shape for lake/derived.py — run after (or on a schedule
+beside) the replay job::
+
+    cd /root/repo && zip -qr /tmp/tps.zip tap_postgres_spark
+    spark-submit --master local[8] --py-files /tmp/tps.zip \
+        tools/submit_derived.py <base_table_dir> <derived_table_dir> [transform]
+
+``transform`` selects a built-in derivation (default ``fingerprint``:
+60-bit content hash per key — the dedup index).  First run bootstraps
+(one full pass); every later run reads only the base changelog since
+the derived table's recorded base version — O(changes), the point of
+maintaining the index off CDC instead of recomputing it nightly.
+Idempotent per base version (epoch guard), so a crashed-and-replayed
+run is a no-op.  Prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tap_postgres_spark.functions import md5_60bit
+from tap_postgres_spark.lake import LakeTable
+from tap_postgres_spark.lake.derived import (
+    bootstrap_derived,
+    refresh_derived,
+    refreshed_base_version,
+)
+
+
+def fingerprint_transform(keys: list[str]):
+    def _t(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys, "_sdc_lsn", md5_60bit(F.col("content")).alias("fp")
+        )
+
+    return _t
+
+
+TRANSFORMS = {"fingerprint": fingerprint_transform}
+
+
+def main() -> None:
+    base_dir, derived_dir = sys.argv[1:3]
+    name = sys.argv[3] if len(sys.argv) > 3 else "fingerprint"
+    spark = SparkSession.builder.getOrCreate()
+    base = LakeTable(spark, base_dir)
+    transform = TRANSFORMS[name](base.key_columns)
+    if LakeTable.exists(derived_dir):
+        derived = LakeTable(spark, derived_dir)
+        res = refresh_derived(base, derived, transform)
+        mode = "refresh"
+    else:
+        derived = bootstrap_derived(spark, base, derived_dir, transform)
+        res = {"skipped": False, "version": derived.current_version()}
+        mode = "bootstrap"
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "transform": name,
+                "base_version": base.current_version(),
+                "derived_at_base_version": refreshed_base_version(derived),
+                "derived_version": derived.current_version(),
+                "skipped": bool(res.get("skipped")),
+                "derived_rows": derived.read().count(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
