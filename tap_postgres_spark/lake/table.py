@@ -385,7 +385,8 @@ class LakeTable:
         return os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
 
     def _write_bucketed(
-        self, df: DataFrame, rel_dir: str, num_buckets: int
+        self, df: DataFrame, rel_dir: str, num_buckets: int,
+        sort_keys: Sequence[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (which carries ``_bucket``) partitioned by bucket.
         Returns {bucket: [rel_dir/…]} for the buckets actually written.
@@ -393,10 +394,21 @@ class LakeTable:
         ``repartition(num_buckets, _bucket)`` gives ~one task per bucket →
         one file per bucket per commit, keeping file counts linear in
         commits, not in shuffle width.
+
+        ``sort_keys`` clusters rows by key WITHIN each bucket file (a
+        partition-local sort — no extra shuffle).  Compaction passes the
+        key columns: clustered base files give parquet row-group min/max
+        stats real selectivity, so a point read inside a bucket skips
+        most row groups instead of scanning the whole bucket file.  Merge
+        deltas skip it (batch-sized files, rewritten by the next compact
+        anyway).
         """
         out_abs = os.path.join(self.path, rel_dir)
+        shaped = df.repartition(num_buckets, F.col(_BUCKET))
+        if sort_keys:
+            shaped = shaped.sortWithinPartitions(*sort_keys)
         (
-            df.repartition(num_buckets, F.col(_BUCKET))
+            shaped
             .write.mode("errorifexists")
             .partitionBy(_BUCKET)
             .parquet(out_abs)
@@ -690,7 +702,9 @@ class LakeTable:
         folded = folded.withColumn(
             _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
         )
-        written = self._write_bucketed(folded, rel_dir, meta["num_buckets"])
+        written = self._write_bucketed(
+            folded, rel_dir, meta["num_buckets"], sort_keys=key_cols
+        )
         buckets = {b: list(dl) for b, dl in current.items() if b not in todo}
         for b, dl in todo.items():
             if include_base:

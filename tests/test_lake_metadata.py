@@ -310,3 +310,37 @@ class TestExpireVersions:
     def test_expire_noop_when_history_short(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         assert t.expire_versions(keep_last=50)["skipped"]
+
+
+def test_compact_clusters_rows_by_key_within_bucket(spark, tmp_path):
+    """Compaction sorts rows by key inside each bucket file, so parquet
+    row-group min/max stats become selective for point reads."""
+    import pyarrow.parquet as pq
+
+    from tests.test_lake_merge import SCHEMA, _batch
+
+    t = LakeTable.create(spark, str(tmp_path / "cl"), SCHEMA, ["repo", "path"], num_buckets=1)
+    # insert keys in descending order across two epochs
+    t.merge_into(
+        _batch(spark, [("r9", f"p{i}", "v", 10 + i, None) for i in range(20, 10, -1)]),
+        epoch_id="e1",
+    )
+    t.merge_into(
+        _batch(spark, [("r1", f"p{i}", "v", 40 + i, None) for i in range(10, 0, -1)]),
+        epoch_id="e2",
+    )
+    t.compact(max_delta_depth=1)
+    dirs = t.buckets_map()["0"]
+    assert len(dirs) == 1
+    files = [
+        os.path.join(t.path, dirs[0], f)
+        for f in os.listdir(os.path.join(t.path, dirs[0]))
+        if f.endswith(".parquet")
+    ]
+    rows = []
+    for f in files:
+        tb = pq.read_table(f, columns=["repo", "path"])
+        rows += list(zip(tb.column("repo").to_pylist(), tb.column("path").to_pylist()))
+    assert rows == sorted(rows)  # clustered by (repo, path)
+    # state unchanged
+    assert t.read().count() == 20
