@@ -373,6 +373,28 @@ class LakeTable:
             )
         return df.drop(SDC_GEN)
 
+    def read_keys(self, keys_df: DataFrame) -> DataFrame:
+        """Point read: rows whose key appears in ``keys_df`` (a DataFrame
+        carrying the key columns).  Three pruning layers compose: bucket
+        pruning opens only the buckets the keys hash to, the pushed key
+        predicate lets parquet skip row groups (selective on compacted
+        files, which are key-clustered), and the final LWW fold runs over
+        the surviving rows only.  ``keys_df`` is collected — point reads
+        are for small key sets; use a broadcast join against ``read()``
+        for large ones."""
+        keys = self.key_columns
+        rows = keys_df.select(*keys).distinct().collect()
+        bks = self.buckets_for_keys(keys_df.select(*keys))
+        df = self.read(buckets=bks)
+        pred = None
+        for r in rows:
+            one = None
+            for k in keys:
+                c = F.col(k) == F.lit(r[k])
+                one = c if one is None else (one & c)
+            pred = one if pred is None else (pred | one)
+        return df.filter(pred) if pred is not None else df.limit(0)
+
     def buckets_for_keys(self, keys_df: DataFrame) -> list[int]:
         meta = self.metadata()
         b = self._bucket_expr(meta["key_columns"], meta["num_buckets"])

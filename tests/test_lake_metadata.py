@@ -344,3 +344,22 @@ def test_compact_clusters_rows_by_key_within_bucket(spark, tmp_path):
     assert rows == sorted(rows)  # clustered by (repo, path)
     # state unchanged
     assert t.read().count() == 20
+
+
+def test_read_keys_point_lookup(spark, tmp_path):
+    from tests.test_lake_merge import SCHEMA, _batch
+
+    t = LakeTable.create(spark, str(tmp_path / "pk"), SCHEMA, ["repo", "path"], num_buckets=4)
+    t.merge_into(
+        _batch(spark, [("r1", f"p{i}", f"v{i}", 10 + i, None) for i in range(20)]),
+        epoch_id="e1",
+    )
+    t.merge_into(_batch(spark, [("r1", "p3", "new", 99, None),
+                                ("r1", "p4", None, 100, "2024-01-01")]), epoch_id="e2")
+    keys = spark.createDataFrame([("r1", "p3"), ("r1", "p4"), ("r1", "p7")],
+                                 "repo string, path string")
+    got = {(r["repo"], r["path"]): r["content"] for r in t.read_keys(keys).collect()}
+    # p3 updated, p4 deleted (absent), p7 original
+    assert got == {("r1", "p3"): "new", ("r1", "p7"): "v7"}
+    # empty key set → empty result
+    assert t.read_keys(keys.limit(0)).count() == 0
