@@ -287,13 +287,22 @@ class LakeTable:
         """Largest version committed at or before ``ts`` (Iceberg
         timestamp time-travel resolution).  ``ts`` may be a datetime or
         an ISO-8601 string; naive datetimes are taken as UTC.  Raises if
-        the timestamp precedes the table's creation."""
+        the timestamp precedes the oldest readable version.  Walks only
+        the manifest files that still exist, so tables that have expired
+        versions (:meth:`expire_versions`) keep timestamp time travel
+        inside the retained window — the floor manifest preserves its
+        original ``committed_at`` stamp."""
         if isinstance(ts, str):
             ts = datetime.fromisoformat(ts)
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
         best = None
-        for v in range(1, self.current_version() + 1):
+        mdir = os.path.join(self.path, "metadata")
+        existing = sorted(
+            int(f[1:9]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        for v in existing:
             at = self.metadata(v).get("committed_at")
             if at is not None and datetime.fromisoformat(at) <= ts:
                 best = v
@@ -346,9 +355,17 @@ class LakeTable:
         ``(from_version, to_version]`` — upserts AND delete tombstones,
         LWW-folded per key across the range so a downstream consumer can
         apply them idempotently.  Reads only the range's delta dirs
-        (O(|changes|), never O(|table|)); raises on ranges containing
-        COW/compact rewrites, whose data dirs are full-bucket states, not
-        change sets."""
+        (O(|changes|), never O(|table|)).
+
+        ``compact`` commits in the range are pass-through: a compact's
+        data dirs are full-bucket rewrites, not change sets, but each
+        merge manifest's ``summary.lineage`` still records that merge's
+        own change dirs (which survive compaction until retention
+        expires their version), so skipping compacts yields the correct
+        changelog.  COW merges / overwrites still raise.  Ranges that
+        cross the retention floor (:meth:`expire_versions`) raise
+        instead of silently truncating: the floor manifest's
+        ``parent: null`` is detected mid-walk."""
         to_v = to_version if to_version is not None else self.current_version()
         dirs: list[str] = []
         v: int | None = to_v
@@ -357,14 +374,27 @@ class LakeTable:
             op = m["summary"].get("operation", "")
             if op.startswith("merge-mor"):
                 dirs.extend(d for dl in m["summary"]["lineage"].values() for d in dl)
-            elif op in ("create",):
+            elif op in ("create", "compact"):
                 pass
             else:
                 raise ValueError(
                     f"read_changes: version {v} is {op!r}, not a MOR merge — "
                     "changelog is only defined over merge-on-read commits"
                 )
-            v = m["parent"]
+            parent = m["parent"]
+            if parent is None and v > from_version + 1:
+                # chain ends (retention floor / table creation) before the
+                # requested range is covered → the changelog below v has
+                # been expired; a partial return would silently corrupt
+                # incremental consumers (e.g. refresh_derived)
+                raise ValueError(
+                    f"read_changes: range ({from_version}, {to_v}] crosses "
+                    f"the retention floor at v{v} "
+                    f"(expired_below={m.get('expired_below', False)}); the "
+                    "changelog below the floor has been expired — "
+                    "re-bootstrap the consumer from a full read()"
+                )
+            v = parent
         schema = T.StructType.fromJson(self.metadata(to_v)["schema"])
         df = self._read_dirs(dirs, schema, with_gen=True)
         if SDC_LSN in df.columns:
@@ -803,8 +833,13 @@ class LakeTable:
         floor_meta["buckets"] = floor_full
         floor_meta["parent"] = None
         floor_meta["expired_below"] = True
-        with open(os.path.join(mdir, f"v{floor:08d}.json"), "w") as f:
+        # atomic rewrite (tmp + os.replace, the _write_metadata pattern):
+        # this becomes the only self-contained checkpoint the remaining
+        # chain depends on — a crash mid-write must not corrupt it
+        fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".floor.tmp")
+        with os.fdopen(fd, "w") as f:
             json.dump(floor_meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(mdir, f"v{floor:08d}.json"))
         # drop expired manifests, then any data dir no kept version references
         for v in expire:
             os.unlink(os.path.join(mdir, f"v{v:08d}.json"))

@@ -30,6 +30,7 @@ initial sync feasible while the WAL keeps flowing.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -96,11 +97,26 @@ def bootstrap_snapshot(
         stamp = F.lit(int(snapshot_lsn)).cast("long")
         floor = int(snapshot_lsn)
 
-    shaped = full_table_scan(snapshot, stream)
-    widened = shaped.withColumn(SDC_LSN, stamp).withColumn(
+    # Stamp _sdc_lsn on the RAW snapshot, before full_table_scan shaping:
+    # with selected_columns set, the projection would otherwise drop
+    # capture_lsn_col and the later stamp would reference a missing
+    # column (AnalysisException).  The stamped column is carried through
+    # the projection explicitly.
+    stamped = snapshot.withColumn(SDC_LSN, stamp)
+    shaped_stream = stream
+    if stream.selected_columns:
+        shaped_stream = dataclasses.replace(
+            stream,
+            selected_columns=(
+                *[c for c in stream.selected_columns if c != SDC_LSN],
+                SDC_LSN,
+            ),
+        )
+    shaped = full_table_scan(stamped, shaped_stream)
+    widened = shaped.withColumn(
         SDC_DELETED_AT, F.lit(None).cast("string")
     )
-    if capture_lsn_col is not None:
+    if capture_lsn_col is not None and capture_lsn_col in widened.columns:
         widened = widened.drop(capture_lsn_col)
 
     result = table.overwrite(widened, epoch_id=epoch_id)

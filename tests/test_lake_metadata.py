@@ -156,11 +156,16 @@ def test_read_changes_incremental_changelog(spark, tmp_path):
     # the pre-range base row does NOT appear
     assert ch == {"p1": ("b", 30, False), "base": (None, 40, True)}
 
-    # compaction breaks the changelog contract for ranges crossing it
+    # compaction is PASS-THROUGH for the changelog (round-4 ADVICE):
+    # compact dirs are full-bucket rewrites, but each merge manifest's
+    # lineage still holds that merge's change dirs, so a range crossing
+    # the compact yields the identical changelog
     t.compact(max_delta_depth=0)
-    with pytest.raises(ValueError, match="MOR"):
-        t.read_changes(v1)
-    # but ranges after the compact work again
+    assert {
+        (r["path"]): (r["content"], r["_sdc_lsn"], r["_sdc_deleted_at"] is not None)
+        for r in t.read_changes(v1).collect()
+    } == ch
+    # and ranges after the compact work too
     vc = t.current_version()
     t.merge_into(
         spark.createDataFrame(
