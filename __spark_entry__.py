@@ -1187,7 +1187,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING = driver-certification rotation (VERDICT r3 item #1). The
+    # driver's CORRECTNESS window covers the FIRST 50 entries only, so
+    # the 23 entries it has never certified (the round-3 pipelineops
+    # surface, judge-verified only) come FIRST this round; the 50
+    # already-certified-in-r03 entries follow, of which the first 27
+    # re-certify and the last 23 (simhash … multimodal_video_decode —
+    # all green in CORRECTNESS_r03.json) rotate back in next round.
     return {
+        "sessionize": q_sessionize,
+        "decontaminate": q_decontaminate,
+        "token_entropy": q_token_entropy,
+        "neardup_clusters": q_neardup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "window_rollup": q_window_rollup,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "vocab_top": q_vocab_top,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "chunk_documents": q_chunk_documents,
+        "dedup_against_corpus": q_dedup_against_corpus,
+        "label_centroids": q_label_centroids,
+        "length_stats": q_length_stats,
+        "length_stats_approx": q_length_stats_approx,
+        "frequent_ngrams": q_frequent_ngrams,
+        "training_mix": q_training_mix,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_source": q_cap_per_source,
+        "quality_logit": q_quality_logit,
+        "weighted_sample": q_weighted_sample,
+        "mixture_weights": q_mixture_weights,
+        # --- certified in CORRECTNESS_r03, re-certifying this round ---
         "full_table_scan": q_full_table_scan,
         "incremental_scan": q_incremental_scan,
         "event_decode": q_event_decode,
@@ -1215,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_oversized": q_minhash_lsh_oversized,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        # --- certified in CORRECTNESS_r03, rotate back next round ---
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
@@ -1238,29 +1270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_video_decode": q_multimodal_video_decode,
-        "sessionize": q_sessionize,
-        "decontaminate": q_decontaminate,
-        "token_entropy": q_token_entropy,
-        "neardup_clusters": q_neardup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "window_rollup": q_window_rollup,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "vocab_top": q_vocab_top,
-        "pii_scan": q_pii_scan,
-        "pii_redact": q_pii_redact,
-        "chunk_documents": q_chunk_documents,
-        "dedup_against_corpus": q_dedup_against_corpus,
-        "label_centroids": q_label_centroids,
-        "length_stats": q_length_stats,
-        "length_stats_approx": q_length_stats_approx,
-        "frequent_ngrams": q_frequent_ngrams,
-        "training_mix": q_training_mix,
-        "stratified_sample": q_stratified_sample,
-        "cap_per_source": q_cap_per_source,
-        "quality_logit": q_quality_logit,
-        "weighted_sample": q_weighted_sample,
-        "mixture_weights": q_mixture_weights,
     }
 
 

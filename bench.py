@@ -324,19 +324,32 @@ def main() -> None:
         queries = bench_queries(spark, sf_dir)
 
     total = round(cdc["seconds"] + sum(queries.values()), 2)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc-replay+queries wall time (headline: change-events/sec, see cdc)",
-                "value": total,
-                "unit": "sec",
-                "queries": {"cdc_replay": cdc["seconds"], **queries},
-                "sf": sf,
-                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
-                "cdc": cdc,
-            }
-        )
+    # The driver tail-captures stdout and parses the LAST line as JSON
+    # (BENCH_r03 was recorded "parsed": null because the long line got
+    # truncated).  Keep the printed line COMPACT: tight separators, the
+    # cdc block trimmed to its headline fields; the full detail (per-run
+    # samples, cpu breakdowns, warmup note) goes to BENCH_QUERIES.json
+    # next to this script.
+    cdc_line = {
+        k: cdc[k]
+        for k in ("events", "batches", "seconds", "events_per_sec",
+                  "final_rows", "streams", "verify")
+    }
+    line = {
+        "metric": "cdc change-events/sec (see cdc.events_per_sec) + query wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {"cdc_replay": cdc["seconds"], **queries},
+        "sf": sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+        "cdc": cdc_line,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**line, "cdc": cdc}, f, indent=1, sort_keys=True)
+    print(json.dumps(line, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

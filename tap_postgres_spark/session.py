@@ -59,6 +59,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # no carriage-return progress bars on the console: bench.py's
+        # machine-parsed final JSON line must be the clean last line
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         # Scan-split sizing: the rule is ≥2-3 input splits per core for the
         # parse-heavy feed scan.  32 MB suits local[8..32] over ~100 MB
