@@ -46,17 +46,31 @@ def _pin_session(spark: SparkSession) -> None:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen tiny scans to the session's parallelism.  The sf0.01/sf0.1
+    tables are single-row-group parquet files → ONE scan split, which
+    serializes every CPU-heavy per-row expression (measured: the md5
+    char-gram sketch at sf0.1 dropped 3.2 s → 0.4 s on local[32] after
+    fan-out).  Gated on the split count so it is a no-op at real scale —
+    a 100-TB table scans as thousands of splits and must NOT pay a
+    whole-corpus shuffle here."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 _EVENTS_SCHEMA = T.StructType(

@@ -699,6 +699,7 @@ def pack_sequences(
     group_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_subgroups: int = 32,
 ) -> DataFrame:
     """Training-shard sequence packing, GPT-style: documents are
     concatenated in deterministic ``id`` order within each ``group_col``
@@ -707,27 +708,88 @@ def pack_sequences(
     are contiguous runs; a doc may straddle into the next boundary, the
     concat-then-split semantics of fixed-context pretraining).
 
-    Scale shape: the running token sum is a window partitioned by
-    ``group_col`` — parallel across groups, never a global single-
-    partition sort.  Groups are the natural shard affinity (language
-    here); at 10^10 docs add a hash-salt subgroup to the partition key
-    to bound any one group's serial window.
+    Scale shape — two-level parallel prefix sum (round-4 fix for the
+    hot-group serial window): a dominant group (English ≈ half a web
+    corpus) must not funnel through ONE window task.  Each group's
+    id-ordered sequence is split into up to ``n_subgroups`` contiguous
+    id ranges (approx-percentile boundaries; ANY monotone split yields
+    identical output, so the approximation cannot affect results), the
+    running sum is computed per (group, subrange) in parallel, and
+    per-subrange totals — ≤ ``n_subgroups`` tiny rows per group — are
+    prefix-summed into offsets added back to each subrange.  Token
+    counts are integers, so the two-level sum is bit-identical to the
+    single-window form (``n_subgroups=1`` keeps the old plan; equality
+    is pinned in tests).  The windowed relation is localCheckpoint'ed
+    so the offset aggregate reads materialized rows instead of
+    re-running the tokenize+window pass.
     """
     n = F.size(tokens(F.col(text_col))).alias("n_tokens")
     d = docs.select(id_col, group_col, n)
-    w = (
-        Window.partitionBy(group_col)
+    shard = lambda cum: (  # noqa: E731 — shared by both plan shapes
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(budget_tokens)))
+        .cast("long")
+        .alias("shard_seq")
+    )
+    if n_subgroups <= 1:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return d.select(
+            id_col, group_col, "n_tokens", shard(F.sum("n_tokens").over(w))
+        )
+    fracs = [i / n_subgroups for i in range(1, n_subgroups)]
+    bounds = d.groupBy(group_col).agg(
+        F.percentile_approx(F.col(id_col), F.array(*[F.lit(x) for x in fracs]))
+        .alias("_bs")
+    )
+    # null-safe join: a NULL group is a legitimate window partition in
+    # the single-window form, so it must survive the two-level path too
+    sub = (
+        d.join(
+            F.broadcast(bounds.withColumnRenamed(group_col, "_bg")),
+            F.col(group_col).eqNullSafe(F.col("_bg")),
+        )
+        .withColumn(
+            "_sub",
+            F.size(F.filter(F.col("_bs"), lambda b: b < F.col(id_col))),
+        )
+        .drop("_bs", "_bg")
+    )
+    w_local = (
+        Window.partitionBy(group_col, "_sub")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    return d.select(
-        id_col,
-        group_col,
-        "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(float(budget_tokens)))
-        .cast("long")
-        .alias("shard_seq"),
+    local = sub.withColumn(
+        "_cum_local", F.sum("n_tokens").over(w_local)
+    ).localCheckpoint()
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(group_col, "_sub")
+        .agg(F.max("_cum_local").alias("_t"))  # last local cum = subrange total
+        .withColumn("_off", F.coalesce(F.sum("_t").over(w_off), F.lit(0)))
+        .select(
+            F.col(group_col).alias("_og"), F.col("_sub").alias("_os"), "_off"
+        )
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("_og"))
+            & (F.col("_sub") == F.col("_os")),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            shard(F.col("_cum_local") + F.col("_off")),
+        )
     )
 
 
@@ -737,6 +799,7 @@ def neardup_clusters(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: cluster id =
     min doc id reachable through the pair graph (the step after LSH pair
@@ -750,6 +813,14 @@ def neardup_clusters(
     round is ONE scalar (the convergence count); labels/edges never
     collect.  Converged when no label changes; raises if ``max_iter``
     rounds don't converge (pathological chain — raise the cap).
+
+    ``checkpoint_dir``: per-round lineage truncation defaults to
+    ``localCheckpoint()`` (executor-local blocks — fastest, right for
+    local mode and short jobs).  On a real cluster an executor lost
+    mid-iteration takes its blocks — and every later round — with it;
+    pass a (HDFS/object-store) directory to switch to RELIABLE
+    ``checkpoint()``, which persists each round's labels so the
+    iteration survives executor loss.
     """
     # cache the pair list FIRST: the undirected union scans it twice, and
     # without the cache each scan re-executes the upstream pair pipeline
@@ -762,18 +833,20 @@ def neardup_clusters(
         .distinct()
         .persist()
     )
-    # localCheckpoint per round TRUNCATES the logical plan: without it the
+    # per-round checkpoint TRUNCATES the logical plan: without it the
     # round-N plan nests all N-1 predecessors and Catalyst analysis time
     # grows superlinearly (the classic iterative-algorithm lineage
-    # explosion — a 12-round chain graph ran >10 min unconverged).  On a
-    # real cluster swap for reliable checkpoint(dir) to survive executor
-    # loss mid-iteration.
-    labels = (
+    # explosion — a 12-round chain graph ran >10 min unconverged).
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()  # noqa: E731 — reliable, survives executor loss
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster_id"))
-        .localCheckpoint()  # materializes the edge cache as a side effect
-    )
+    )  # materializes the edge cache as a side effect
     p.unpersist()
     for _ in range(max_iter):
         neighbor_min = (
@@ -787,7 +860,7 @@ def neardup_clusters(
         # the changed flag rides the same checkpointed pass, so the
         # convergence probe is an aggregate over cached rows, not a
         # second join
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -795,7 +868,6 @@ def neardup_clusters(
                 (new_cluster != F.col("cluster_id")).cast("int").alias("_chg"),
             )
             .withColumnRenamed("new_cid", "cluster_id")
-            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0]
         labels = new_labels.drop("_chg")

@@ -146,12 +146,21 @@ def ivf_assign_pandas(
     centroids: list[tuple[int, list[float]]],
     *,
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """High-k variant of :func:`ivf_assign`: argmax-cosine over all
     centroids as one numpy matmul per Arrow batch, instead of a CASE
     chain that grows with k.  Ties resolve to the lowest centroid id,
-    matching the expression form (verified in tests).  Use when
-    k×dim makes the codegen'd CASE chain the bottleneck (k ≳ 64)."""
+    and ``round_to`` rounds similarities HALF_UP before the argmax —
+    both matching the expression form (pinned in
+    tests/test_vectorops.py at k=64).  Use when k×dim makes the
+    codegen'd expression tree the bottleneck (k ≳ 64): at SemDeDup
+    scale (k ≈ 10⁴-10⁵ clusters over 10⁹ docs) the expression form's
+    plan literally cannot be built — k×dim literal terms — while this
+    form ships one (k × dim) float64 matrix to executors (a plain
+    closure broadcast, ~100 MB at k=10⁵×d=128, the same size class
+    Spark broadcasts for map-side joins) and scores each Arrow batch
+    with one BLAS matmul."""
     cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
     order = np.argsort(cids, kind="stable")
     cids = cids[order]
@@ -167,10 +176,43 @@ def ivf_assign_pandas(
         vn = np.linalg.norm(v, axis=1)
         vn[vn == 0] = 1.0
         sims = (v @ cmat.T) / (vn[:, None] * cnorm[None, :])
+        if round_to is not None:
+            # HALF_UP (away from zero), matching Spark's round() — NOT
+            # np.round, which is banker's HALF_EVEN
+            scale = 10.0 ** int(round_to)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
         # argmax picks the FIRST max → lowest cid on ties (cids sorted)
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return df.withColumn("centroid_id", _assign(F.col(vec_col)))
+
+
+# Above this cluster count, centroid assignment switches from the
+# codegen'd expression form (k×dim literals in the plan — unbuildable at
+# SemDeDup's k ≈ 10⁴⁺) to the broadcast-matrix pandas matmul.
+IVF_ASSIGN_PANDAS_MIN_K = 64
+
+
+def ivf_assign_auto(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    min_k_pandas: int = IVF_ASSIGN_PANDAS_MIN_K,
+) -> DataFrame:
+    """Dispatch centroid assignment by k: the expression form (whole-stage
+    codegen, SQL-oracle-replayable) below ``min_k_pandas``, the
+    Arrow-batched numpy matmul (:func:`ivf_assign_pandas`) at or above
+    it.  The two agree on the test corpus at the crossover (pinned at
+    k=64); keep one form per index build regardless — a similarity
+    within an ulp of a rounding boundary could in principle assign
+    differently between BLAS and codegen summation orders."""
+    if len(centroids) >= min_k_pandas:
+        return ivf_assign_pandas(
+            df, centroids, vec_col=vec_col, round_to=round_to
+        )
+    return ivf_assign(df, centroids, vec_col=vec_col, round_to=round_to)
 
 
 def make_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -297,15 +339,18 @@ def train_centroids(
 
     Each iteration is one explode+groupBy over the corpus (map-side
     combined, one shuffle of k×dim rows); centroids collect to the driver
-    (k×dim doubles — provably tiny) to be inlined as literals for the
-    next assignment pass, exactly how the search path broadcasts them.
+    (k×dim doubles — provably tiny) to be inlined as literals (small k)
+    or shipped as one broadcast matrix to a pandas matmul (k ≥
+    ``IVF_ASSIGN_PANDAS_MIN_K`` — the SemDeDup-scale path, where a
+    k×dim literal expression tree would not even build) for the next
+    assignment pass.
     """
     seed_rows = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     centroids = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)
     ]
     for _ in range(n_iter):
-        assigned = ivf_assign(df, centroids, vec_col=vec_col, round_to=round_to)
+        assigned = ivf_assign_auto(df, centroids, vec_col=vec_col, round_to=round_to)
         rows = (
             assigned.select(
                 "centroid_id",
@@ -1040,7 +1085,15 @@ def semantic_dedup(
     Scale shape: per-cluster pairwise work is O((n/k)²)·k, so k must
     grow WITH the corpus — size k ≈ n/c for a constant target cluster
     width c (the paper uses ~10⁴-item clusters at 10⁹ docs), making
-    total work O(n·c).  ``max_cluster_size`` guards the skew case (a
+    total work O(n·c).  Assignment (here and inside
+    :func:`train_centroids`) dispatches through :func:`ivf_assign_auto`:
+    at k ≥ 64 it is one broadcast (k × dim) numpy matrix + a BLAS
+    matmul per Arrow batch instead of a k×dim-literal expression tree.
+    Measured sweep (64-dim, local[16], round_to=6, best of 2): expr
+    form 0.78/1.14/3.24/6.26 s at k=16/64/256/1024 (linear in k —
+    plan-construction + codegen bound, and unbuildable at SemDeDup's
+    k≈10⁴⁺), pandas form flat 0.25-0.32 s across the same sweep.
+    ``max_cluster_size`` guards the skew case (a
     degenerate cluster swallowing the corpus): oversized clusters'
     pairs are SKIPPED — never silently; enumerate them with
     :func:`semantic_oversized_clusters` and re-cluster those ids with a
@@ -1057,8 +1110,10 @@ def semantic_dedup(
     # (measured ~2× the query wall at sf0.1).  Vectors ride the
     # checkpoint here because the recompute above them (assignment over
     # a trained-centroid expression) dominates; at extreme dims
-    # checkpoint ids-only and re-join vectors instead.
-    assigned = ivf_assign(
+    # checkpoint ids-only and re-join vectors instead.  Assignment
+    # dispatches by k: expr form (oracle-replayable) below 64 clusters,
+    # broadcast-matrix pandas matmul at SemDeDup-scale k.
+    assigned = ivf_assign_auto(
         df, cents, vec_col=vec_col, round_to=assign_round_to
     ).localCheckpoint()
     if max_cluster_size is not None:
@@ -1090,7 +1145,7 @@ def semantic_oversized_clusters(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         round_to=assign_round_to,
     )
-    assigned = ivf_assign(df, cents, vec_col=vec_col, round_to=assign_round_to)
+    assigned = ivf_assign_auto(df, cents, vec_col=vec_col, round_to=assign_round_to)
     return (
         assigned.groupBy("centroid_id")
         .agg(F.count("*").alias("n"))

@@ -258,6 +258,41 @@ def test_pandas_variants_match_expression_forms(spark, emb):
     assert a_expr == a_pud
 
 
+def test_ivf_assign_auto_dispatch_and_k64_equality(spark, emb):
+    """Round-4 scale fix: at the k=64 crossover the auto dispatcher picks
+    the pandas matmul and its assignments (incl. HALF_UP rounding) equal
+    the expression form's exactly."""
+    rows = emb.limit(64).collect()
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    for round_to in (None, 6):
+        a_expr = {
+            r["vec_id"]: r["centroid_id"]
+            for r in vectorops.ivf_assign(
+                emb, cents, round_to=round_to
+            ).collect()
+        }
+        a_auto = vectorops.ivf_assign_auto(emb, cents, round_to=round_to)
+        # dispatched to the pandas UDF: the plan has an Arrow python eval,
+        # not a k×dim codegen'd expression
+        assert "ArrowEvalPython" in a_auto._jdf.queryExecution().executedPlan().toString()
+        assert {
+            r["vec_id"]: r["centroid_id"] for r in a_auto.collect()
+        } == a_expr
+    # below the crossover the expression form is kept (no Python in plan)
+    small = vectorops.ivf_assign_auto(emb, cents[:4], round_to=6)
+    assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semantic_dedup_pandas_path_equals_expr_path(spark, emb, monkeypatch):
+    """semantic_dedup at k=64 (pandas assignment) must keep the same
+    survivors as the expression-form assignment path."""
+    kw = dict(k=64, n_iter=1, threshold=0.9, max_cluster_size=200)
+    got_pandas = {r["vec_id"] for r in vectorops.semantic_dedup(emb, **kw).collect()}
+    monkeypatch.setattr(vectorops, "ivf_assign_auto", vectorops.ivf_assign)
+    got_expr = {r["vec_id"] for r in vectorops.semantic_dedup(emb, **kw).collect()}
+    assert got_pandas == got_expr and got_pandas
+
+
 def test_knn_join_matches_numpy(spark, emb, emb_np):
     ids, mat = emb_np
     queries = emb.filter(F.col("vec_id") < 3).select(
