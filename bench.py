@@ -184,6 +184,11 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
             detect_evolution=True,
             merge_mode="mor",
             concurrent_merges=min(n_streams, 4),
+            # steady-state maintenance defaults ride the headline path
+            # every round: quarantine instead of dropping malformed
+            # payloads, and expire snapshots on the full-compact cadence
+            dead_letter_dir=os.path.join(work_dir, "dead-letter"),
+            retention_keep_last=10,
         )
         c0 = cpu_snap()
         t0 = time.time()

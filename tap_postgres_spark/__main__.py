@@ -265,6 +265,42 @@ def validate_config(config: dict[str, Any]) -> None:
         raise ValueError("config requires source_dir")
 
 
+def _explain(query: str, sf_dir: str) -> int:
+    """``--explain``: print the formatted physical plan of a named
+    ``__spark_entry__`` query (the one-command plan audit — same
+    rendering as ``tools/plan_report.py``, which writes EXPLAIN.md for
+    the flagship paths)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _load(name: str, rel: str):
+        spec = importlib.util.spec_from_file_location(name, os.path.join(repo, rel))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    entry = _load("entry", "__spark_entry__.py")
+    queries = entry.queries()
+    if query == "list":
+        for name in queries:
+            print(name)
+        return 0
+    if query not in queries:
+        print(f"unknown query {query!r}; --explain list shows all", file=sys.stderr)
+        return 2
+    report = _load("plan_report", os.path.join("tools", "plan_report.py"))
+    from .session import get_spark
+
+    spark = get_spark("tps-explain", cores=8, shuffle_partitions=8)
+    try:
+        print(report.formatted(queries[query](spark, sf_dir)))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m tap_postgres_spark")
     p.add_argument("--config")
@@ -272,8 +308,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state")
     p.add_argument("--discover", action="store_true")
     p.add_argument("--about", action="store_true")
+    p.add_argument(
+        "--explain",
+        metavar="QUERY",
+        help="print the formatted physical plan of a named __spark_entry__ "
+        "query ('list' enumerates); reads tables from --sf-dir",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = p.parse_args(argv)
 
+    if args.explain:
+        return _explain(args.explain, args.sf_dir)
     if args.about:
         json.dump(about(), sys.stdout, indent=2)
         sys.stdout.write("\n")

