@@ -797,6 +797,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SD_MAXC = 125  # recursive-dedup cluster cap: sf0.01 level-0 sizes are
+# (119, 115, 140, 126), so TWO clusters recurse — the depth-2 path is
+# genuinely exercised by the driver gate, not just structurally present
+
+
+def q_semantic_dedup_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive SemDeDup (round-4 'no silent caps' completion): clusters
+    over the cap are re-clustered with a fresh per-subset Lloyd training
+    and pairwise-compared at depth 2 instead of skipped.  Oracle = the
+    same two levels unrolled as SQL CTE chains."""
+    return vectorops.semantic_dedup_recursive(
+        _emb(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER,
+        threshold=_SD_THRESHOLD, assign_round_to=_KM_ROUND, round_to=6,
+        max_cluster_size=_SD_MAXC, max_depth=2,
+    )
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN: coarse quantizer prunes to 1 of 4 cells (a
     partition-prunable predicate at scale), then survivors are scored
@@ -1232,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": q_quality_logit,
         "weighted_sample": q_weighted_sample,
         "mixture_weights": q_mixture_weights,
+        # new in round 4 — inside the 50-row window for first certification
+        "semantic_dedup_deep": q_semantic_dedup_deep,
         # --- certified in CORRECTNESS_r03, re-certifying this round ---
         "full_table_scan": q_full_table_scan,
         "incremental_scan": q_incremental_scan,
@@ -1723,6 +1742,88 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def _km_assign_for(src: str, cent: str, name: str) -> str:
+    """Generalized :func:`_km_assign_cte`: assign ``src`` rows
+    (vec_id, emb DOUBLE[]) to nearest centroid in ``cent``."""
+    return f"""
+{name} AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, s.cvec),
+                            {_KM_ROUND}) DESC, s.cid ASC) AS rn
+    FROM {src} e CROSS JOIN {cent} s) WHERE rn = 1
+)"""
+
+
+def _km_ctes_for(src: str, prefix: str) -> tuple[list[str], str]:
+    """Generalized :func:`_km_ctes`: unrolled Lloyd training over an
+    arbitrary (vec_id, emb) CTE — seeds are the k smallest ids OF THAT
+    SUBSET, matching semantic_dedup_recursive's per-level training."""
+    parts = [
+        f"""{prefix}seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid, emb AS cvec
+  FROM (SELECT vec_id, emb FROM {src} ORDER BY vec_id ASC LIMIT {_KM_K})
+)"""
+    ]
+    cent = f"{prefix}seeds"
+    for i in range(1, _KM_ITER + 1):
+        parts.append(_km_assign_for(src, cent, f"{prefix}a{i}"))
+        parts.append(
+            f"""{prefix}u{i} AS (
+  SELECT cid, g.ord AS ord, round(avg(emb[g.ord]), {_KM_ROUND}) AS m
+  FROM {prefix}a{i}, range(1, {_LSH_DIM + 1}) AS g(ord) GROUP BY cid, g.ord
+)"""
+        )
+        parts.append(
+            f"{prefix}c{i} AS (SELECT cid, list(m ORDER BY ord) AS cvec "
+            f"FROM {prefix}u{i} GROUP BY cid)"
+        )
+        cent = f"{prefix}c{i}"
+    return parts, cent
+
+
+def _semantic_dedup_deep_sql() -> str:
+    """SQL replay of semantic_dedup_recursive at max_depth=2: two
+    unrolled levels of (train on subset → assign → size split →
+    within-OK-cluster pairs), oversized members feeding level 2.  A
+    level-0 pass with no oversized clusters makes every level-1 CTE
+    empty — exactly the Spark loop's early break."""
+    parts = ["base0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"]
+    drops = []
+    src = "base0"
+    for lvl in range(2):
+        p = f"l{lvl}"
+        km, cent = _km_ctes_for(src, p)
+        parts += km
+        parts.append(_km_assign_for(src, cent, f"{p}fin"))
+        parts.append(
+            f"{p}over AS (SELECT cid FROM {p}fin GROUP BY cid "
+            f"HAVING count(*) > {_SD_MAXC})"
+        )
+        parts.append(
+            f"{p}ok AS (SELECT f.* FROM {p}fin f "
+            f"WHERE f.cid NOT IN (SELECT cid FROM {p}over))"
+        )
+        drops.append(
+            f"""SELECT DISTINCT y.vec_id AS b
+  FROM {p}ok x JOIN {p}ok y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {_SD_THRESHOLD}"""
+        )
+        parts.append(
+            f"base{lvl + 1} AS (SELECT f.vec_id, f.emb FROM {p}fin f "
+            f"JOIN {p}over o ON f.cid = o.cid)"
+        )
+        src = f"base{lvl + 1}"
+    ctes = ",\n".join(parts)
+    union = "\nUNION\n".join(drops)
+    return f"""
+WITH {ctes},
+drops AS ({union})
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT b FROM drops)
+"""
+
+
 def _semantic_dedup_sql() -> str:
     """SQL replay of semantic_dedup: trained-centroid assignment (the
     _km_ctes chain), within-cluster pairs above the rounded-cosine
@@ -2050,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _ann_pq_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "semantic_dedup_deep": _semantic_dedup_deep_sql(),
         "knn_join": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),

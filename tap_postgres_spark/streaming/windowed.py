@@ -78,3 +78,44 @@ def streaming_window_rollup(
             "sum_value",
         )
     )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    lateness_s: int = 3_600,
+    *,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of :func:`~tap_postgres_spark.textops.dedup_exact`:
+    emit each document whose ``md5(text)`` has not been seen before,
+    dropping later copies — exact dedup as a continuous filter on an
+    ingest stream (the crawl-frontier shape: duplicates arrive near
+    their originals, not uniformly over history).
+
+    Built on ``dropDuplicatesWithinWatermark``: the state store keeps
+    one row per DISTINCT hash seen within the watermark horizon, and
+    the watermark EXPIRES state older than ``lateness_s`` — the knob
+    that makes streaming exact-dedup state-bounded at 10^10 docs
+    (state ≈ distinct hashes per horizon, not per corpus; corpus-wide
+    dedup against all history composes with the batch anti-join
+    `dedup_against_corpus` over the lake table instead).
+
+    Duplicate resolution is FIRST-ARRIVAL (keep the copy that came
+    first), the natural streaming rule; the batch twin's keep-lowest-id
+    rule coincides with it whenever ids are assigned in arrival order
+    (pinned in tests).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            ts.alias("_wm_ts"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .withWatermark("_wm_ts", f"{int(lateness_s)} seconds")
+        .dropDuplicatesWithinWatermark(["_h"])
+        .select(id_col, text_col, F.col("_wm_ts").alias(ts_col))
+    )

@@ -1153,6 +1153,74 @@ def semantic_oversized_clusters(
     )
 
 
+def semantic_dedup_recursive(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round_to: int = 6,
+    round_to: int = 6,
+    max_cluster_size: int = 100,
+    max_depth: int = 2,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the oversized-cluster loop CLOSED:
+    clusters exceeding ``max_cluster_size`` are re-clustered (a fresh
+    deterministic Lloyd training over just their members) and pairwise-
+    compared at the next depth, up to ``max_depth`` levels — the
+    'no silent caps' completion of the cap: instead of skipping a
+    too-big neighborhood's pairs and asking the caller to re-cluster
+    via :func:`semantic_oversized_clusters`, the re-clustering is the
+    operator.  Returns the surviving ids.
+
+    Deterministic and SQL-replayable at fixed ``max_depth``: each
+    level's seeds are the ``k`` smallest ids OF THAT LEVEL'S subset,
+    assignment/means use the same rounded arithmetic as
+    :func:`train_centroids`, and a level with no oversized clusters
+    simply contributes an empty next subset — so a fixed-depth SQL
+    unrolling replays it exactly regardless of where recursion stops.
+
+    Scale shape: depth-d work is O(|oversized at depth d-1|) corpus +
+    one tiny size aggregate; a dominant cluster is split by k-means
+    trained ON IT (k seeds from within the cluster), which separates
+    any multi-modal neighborhood.  The irreducible case — a genuinely
+    tight mega-cluster of near-identical vectors — stays oversized at
+    ``max_depth`` and its pairs are skipped (still enumerable via
+    :func:`semantic_oversized_clusters`); for that shape use exact or
+    LSH dedup, whose caps carry the keep-lowest guarantee."""
+    remaining = df.select(id_col, vec_col)
+    drops: DataFrame | None = None
+    for _depth in range(max_depth):
+        cents = train_centroids(
+            remaining, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            round_to=assign_round_to,
+        )
+        if not cents:
+            break
+        assigned = ivf_assign_auto(
+            remaining, cents, vec_col=vec_col, round_to=assign_round_to
+        ).localCheckpoint()
+        sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_cn"))
+        over = sizes.filter(F.col("_cn") > max_cluster_size).select("centroid_id")
+        ok = assigned.join(F.broadcast(over), "centroid_id", "left_anti")
+        pairs = neardup_pairs_blocked(
+            ok, id_col=id_col, vec_col=vec_col, block_col="centroid_id",
+            threshold=threshold, round_to=round_to,
+        )
+        lvl = pairs.select(F.col("b").alias(id_col))
+        drops = lvl if drops is None else drops.unionByName(lvl)
+        if over.isEmpty():
+            break
+        remaining = assigned.join(F.broadcast(over), "centroid_id").select(
+            id_col, vec_col
+        )
+    if drops is None:
+        return df.select(id_col)
+    return df.join(drops.distinct(), id_col, "left_anti").select(id_col)
+
+
 def pq_codebooks_trained(
     df: DataFrame,
     *,

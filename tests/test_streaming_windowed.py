@@ -102,3 +102,55 @@ def test_streaming_window_rollup_watermark(spark, tmp_path):
     # 1 and 3), total 5.0 — not 3 events / 105.0
     w0a = [(w, t) for (w, t) in got if t == "a" and (w, "b") in got][0]
     assert got[w0a] == (2, 5.0)
+
+
+def test_streaming_dedup_exact_first_arrival_and_batch_parity(spark, tmp_path):
+    """streaming_dedup_exact: later copies of a text drop across
+    micro-batches, first arrivals survive, and (with ids in arrival
+    order) the surviving id set equals the batch twin's keep-lowest."""
+    from tap_postgres_spark import textops
+    from tap_postgres_spark.streaming.windowed import streaming_dedup_exact
+
+    feed = str(tmp_path / "dfeed")
+    os.makedirs(feed)
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    schema = "doc_id long, ts timestamp, text string"
+
+    # batch 1: three originals; batch 2: one dup of 'aaa', one original;
+    # batch 3: dup of 'bbb' AND dup of the batch-2 original — all within
+    # the watermark horizon
+    b1 = [(1, _ts(0), "aaa"), (2, _ts(1), "bbb"), (3, _ts(2), "ccc")]
+    b2 = [(4, _ts(10), "aaa"), (5, _ts(11), "ddd")]
+    b3 = [(6, _ts(20), "bbb"), (7, _ts(21), "ddd"), (8, _ts(22), "eee")]
+    for i, rows in enumerate((b1, b2, b3), 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            feed + f"/f{i}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed + "/*/")
+    )
+    q = (
+        streaming_dedup_exact(stream, lateness_s=3600)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    survivors = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert survivors == {1, 2, 3, 5, 8}
+
+    # parity with the batch twin (ids assigned in arrival order →
+    # first-arrival ≡ keep-lowest)
+    all_rows = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch = {
+        r.doc_id for r in textops.dedup_exact(all_rows).collect()
+    }
+    assert survivors == batch

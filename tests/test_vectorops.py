@@ -283,6 +283,67 @@ def test_ivf_assign_auto_dispatch_and_k64_equality(spark, emb):
     assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
 
 
+def test_semantic_dedup_recursive_splits_oversized_and_matches_bruteforce(spark):
+    """Round-4 'no silent caps' completion: a cluster over the cap is
+    re-clustered at the next depth instead of skipped.  On a corpus of
+    three tight, well-separated blobs with k=2, level 0 must lump two
+    blobs into one oversized cluster; the capped plain semantic_dedup
+    skips their pairs, while the recursive form splits them and lands
+    exactly on the brute-force survivor set."""
+    rng = np.random.default_rng(3)
+    centers = {
+        "A": np.array([10.0, 0, 0, 0, 0, 0, 0, 0]),
+        "B": np.array([0, 10.0, 0, 0, 0, 0, 0, 0]),
+        "C": np.array([0, 0, 10.0, 0, 0, 0, 0, 0]),
+    }
+    rows = []
+    # seeds (2 lowest ids) land in different blobs so level-0 k=2 is a
+    # genuine 2-way split of a 3-blob corpus
+    for blob, base_id in (("A", 0), ("B", 1)):
+        rows.append((base_id, centers[blob] + rng.normal(0, 0.05, 8)))
+    for i in range(2, 30):
+        rows.append((i, centers["A"] + rng.normal(0, 0.05, 8)))
+    for i in range(100, 129):
+        rows.append((i, centers["B"] + rng.normal(0, 0.05, 8)))
+    for i in range(200, 230):
+        rows.append((i, centers["C"] + rng.normal(0, 0.05, 8)))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    # numpy brute force: drop the higher id of every pair with
+    # round(cos, 6) >= threshold
+    ids = np.array([i for i, _ in rows])
+    mat = np.array([v for _, v in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    drop = set()
+    for x in range(len(ids)):
+        for y in range(len(ids)):
+            if ids[x] < ids[y] and round(cos[x, y], 6) >= 0.95:
+                drop.add(int(ids[y]))
+    expected = set(int(i) for i in ids) - drop
+
+    kw = dict(k=2, n_iter=2, threshold=0.95, max_cluster_size=40)
+    capped = {
+        r["vec_id"] for r in vectorops.semantic_dedup(df, **kw).collect()
+    }
+    deep = {
+        r["vec_id"]
+        for r in vectorops.semantic_dedup_recursive(df, max_depth=2, **kw).collect()
+    }
+    assert deep == expected
+    # the cap alone really skipped duplicates the recursion recovered
+    assert capped != expected and len(capped) > len(deep)
+    # depth exhausted on an unsplittable corpus degrades to the capped
+    # behavior, never loops: max_depth=1 ≡ plain capped semantic_dedup
+    shallow = {
+        r["vec_id"]
+        for r in vectorops.semantic_dedup_recursive(df, max_depth=1, **kw).collect()
+    }
+    assert shallow == capped
+
+
 def test_semantic_dedup_pandas_path_equals_expr_path(spark, emb, monkeypatch):
     """semantic_dedup at k=64 (pandas assignment) must keep the same
     survivors as the expression-form assignment path."""
