@@ -22,7 +22,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -404,6 +404,63 @@ def ivf_topk(
     candidates = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return cosine_topk(
         candidates, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round_to: int | None = 6,
+) -> None:
+    """Materialize the IVF layout ON DISK: vectors written to parquet
+    partitioned by ``centroid_id``, one file per cell.  This turns the
+    in-memory ``filter(centroid_id ∈ probes)`` of :func:`ivf_topk` into
+    real PARTITION PRUNING — at 10^9 vectors a search opens
+    ``n_probe / k_cells`` of the files and never touches the rest (the
+    scan's ``PartitionFilters`` carries the probe predicate; pinned by
+    plan test).  The build is one assignment pass + one
+    cell-partitioned write — the offline index-build job, rerun (or
+    incrementally refreshed via ``lake.derived``) when centroids
+    retrain."""
+    assigned = ivf_assign_auto(
+        df.select(id_col, vec_col), centroids,
+        vec_col=vec_col, round_to=assign_round_to,
+    )
+    (
+        assigned.repartition(max(len(centroids), 1), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF search over a :func:`build_ivf_index` layout: rank centroids
+    driver-side, read ONLY the probed cells' partition directories
+    (partition pruning — no assignment recompute, no full scan), score
+    survivors exactly.  Equals :func:`ivf_topk` over the same centroids
+    by construction (pinned in tests)."""
+    probe_ids = probe_cells(query_vec, centroids, n_probe)
+    cells = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin([int(p) for p in probe_ids])
+    )
+    return cosine_topk(
+        cells, query_vec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
 
 

@@ -127,3 +127,40 @@ def test_transform_contract_enforced(spark, tmp_path, base):
             lambda df: df.select("repo", "path", SDC_LSN, "_sdc_deleted_at",
                                  md5_60bit(F.col("content")).alias("fp")),
         )
+
+
+def test_quality_and_chargram_transforms_refresh_incrementally(spark, tmp_path, base):
+    """The submit_derived built-in index transforms (quality features,
+    chargram sketch) refresh at O(changes) and equal a full recompute."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from submit_derived import chargram_transform, quality_transform
+
+    for name, factory in (("q", quality_transform), ("cg", chargram_transform)):
+        transform = factory(base.key_columns)
+        d = bootstrap_derived(spark, base, str(tmp_path / name), transform)
+        base.merge_into(
+            _batch(
+                spark,
+                [("r1", "a", "the quick brown fox and the dog", 30, None),
+                 ("r9", "z", "le chat et le chien", 31, None)],
+            ),
+            epoch_id=f"{name}-u1",
+        )
+        refresh_derived(base, d, transform)
+        got = {
+            tuple(r[k] for k in base.key_columns): tuple(
+                v for c, v in sorted(r.asDict().items()) if c not in ("repo", "path")
+            )
+            for r in d.read().collect()
+        }
+        full = {
+            tuple(r[k] for k in base.key_columns): tuple(
+                v for c, v in sorted(r.asDict().items()) if c not in ("repo", "path")
+            )
+            for r in transform(base.read()).withColumn(
+                "_sdc_deleted_at", F.lit(None).cast("string")
+            ).collect()
+        }
+        assert got == full

@@ -617,3 +617,25 @@ def test_pq_codebooks_trained_drop_in_and_improves_distortion(spark, emb, emb_np
     q = list(mat[0])
     got = vectorops.pq_adc_topk(emb, q, trained, k=5).collect()
     assert len(got) == 5
+
+
+def test_ivf_index_on_disk_partition_pruning(spark, emb, tmp_path):
+    """build_ivf_index materializes the cell layout on disk; the search
+    reads ONLY probed partitions (PartitionFilters in the scan) and
+    equals the in-memory ivf_topk exactly."""
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(4).collect()}
+    cents = [(cid, v) for cid, v in rows.items()]
+    path = str(tmp_path / "ivf")
+    vectorops.build_ivf_index(emb, cents, path)
+
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+    assert len(cells) >= 2  # real cell dirs on disk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = vectorops.ivf_index_topk(spark, path, q, cents, k=10, n_probe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    mem = vectorops.ivf_topk(emb, q, cents, k=10, n_probe=1)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]

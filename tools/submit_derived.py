@@ -8,7 +8,10 @@ beside) the replay job::
         tools/submit_derived.py <base_table_dir> <derived_table_dir> [transform]
 
 ``transform`` selects a built-in derivation (default ``fingerprint``:
-60-bit content hash per key — the dedup index).  First run bootstraps
+60-bit content hash per key — the dedup index; ``quality`` = the
+pre-training quality-filter feature vector + token counts + language
+guess; ``chargram`` = the bottom-k rolling char-gram sketch, the
+insert-robust near-dup key).  First run bootstraps
 (one full pass); every later run reads only the base changelog since
 the derived table's recorded base version — O(changes), the point of
 maintaining the index off CDC instead of recomputing it nightly.
@@ -42,7 +45,49 @@ def fingerprint_transform(keys: list[str]):
     return _t
 
 
-TRANSFORMS = {"fingerprint": fingerprint_transform}
+def quality_transform(keys: list[str]):
+    """Per-key quality-filter features over ``content`` — the index a
+    training pipeline reads instead of re-scoring the corpus nightly.
+    All pure column expressions, so the incremental refresh is one
+    column-pruned pass over the changelog rows."""
+    from tap_postgres_spark import textops
+
+    def _t(df: DataFrame) -> DataFrame:
+        scored = textops.lang_id(
+            textops.quality_features(df, text_col="content"),
+            text_col="content",
+        )
+        return scored.select(
+            *keys, "_sdc_lsn",
+            "q_chars", "q_tokens", "q_punct_ratio", "q_stopword_ratio",
+            textops.token_count_bpe(F.col("content")).alias("n_bpe"),
+            "lang_pred",
+        )
+
+    return _t
+
+
+def chargram_transform(keys: list[str]):
+    """Bottom-k rolling char-gram sketch per key (insert-robust near-dup
+    key), canonicalized to a comma-joined string column."""
+    from tap_postgres_spark import textops
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keys, "_sdc_lsn",
+            F.concat_ws(
+                ",", textops.chargram_sketch(F.col("content"), k=5, sketch_size=8)
+            ).alias("sketch"),
+        )
+
+    return _t
+
+
+TRANSFORMS = {
+    "fingerprint": fingerprint_transform,
+    "quality": quality_transform,
+    "chargram": chargram_transform,
+}
 
 
 def main() -> None:
