@@ -1,1 +1,1 @@
-from .table import LakeTable  # noqa: F401
+from .table import CommitConflictError, LakeTable  # noqa: F401

@@ -25,6 +25,12 @@ scratch on parquet + atomic metadata pointers:
   already-committed epoch is a no-op *before any data is written*.  This
   is the commit-epoch dedup guard from the north star; combined with
   Spark's checkpointed offsets it gives end-to-end exactly-once.
+- **Optimistic concurrency** — commits run under an atomic lock and
+  validate their parent version; a writer whose planned parent is no
+  longer the head gets :class:`CommitConflictError` instead of silently
+  dropping the other writer's commit (Iceberg's commit contract).
+  Retention (``expire_versions``) holds the same lock across its
+  resolve→rewrite→delete sequence.
 - **Additive schema evolution** — new columns in a batch widen the table
   schema (nullable); old files are read with schema-on-read, missing
   columns yielding NULL.  Mirrors the reference's additive-only LOG_BASED
@@ -55,6 +61,15 @@ from ..operators.lww import (
     salted_fold_last_writer_wins,
 )
 from ..schema import SDC_DELETED_AT, SDC_LSN, merge_schemas
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed a version since this operation read the
+    table metadata.  The Iceberg contract re-created: commits validate
+    their parent under an atomic lock and CONFLICT instead of silently
+    overwriting the pointer (last-wins would drop the other writer's
+    commit from the chain).  Callers retry by re-reading and re-applying
+    — for the CDC sink the epoch guard makes a blind retry safe."""
+
 
 _BUCKET = "_bucket"
 # commit-generation system column, stored in every data file but absent
@@ -163,7 +178,58 @@ class LakeTable:
         return os.path.exists(os.path.join(path, "metadata", "_current"))
 
     # ------------------------------------------------------------- metadata
-    def _write_metadata(self, meta: dict[str, Any]) -> None:
+    LOCK_STALE_SECONDS = 120.0
+
+    def _commit_lock(self):
+        """Atomic cross-process commit lock (``O_CREAT|O_EXCL`` on a lock
+        file — atomic on POSIX local and NFS; object-store deployments
+        swap this for a conditional-PUT, the same contract).  A lock left
+        by a crashed writer is broken after ``LOCK_STALE_SECONDS``."""
+        import contextlib
+        import time as _time
+
+        lock_path = os.path.join(self.path, "metadata", "_commit.lock")
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = _time.monotonic() + self.LOCK_STALE_SECONDS
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        age = _time.time() - os.path.getmtime(lock_path)
+                    except OSError:
+                        continue  # holder released between EEXIST and stat
+                    if age > self.LOCK_STALE_SECONDS:
+                        # stale (crashed holder): break it and retry
+                        try:
+                            os.unlink(lock_path)
+                        except OSError:
+                            pass
+                        continue
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock held >"
+                            f"{self.LOCK_STALE_SECONDS}s: {lock_path}"
+                        )
+                    _time.sleep(0.02)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                yield
+            finally:
+                try:
+                    os.unlink(lock_path)
+                except OSError:
+                    pass
+
+        return _held()
+
+    def _write_metadata(
+        self, meta: dict[str, Any], *, expect_parent: int | None = None
+    ) -> None:
         mdir = os.path.join(self.path, "metadata")
         os.makedirs(mdir, exist_ok=True)
         # commit wall-clock, for timestamp time travel (read(as_of=...)).
@@ -171,14 +237,27 @@ class LakeTable:
         # metadata dict, and a carried-over parent stamp would make two
         # versions share one commit time.
         meta["committed_at"] = datetime.now(timezone.utc).isoformat()
-        vpath = os.path.join(mdir, f"v{meta['version']:08d}.json")
-        with open(vpath, "w") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
-        # atomic pointer swap — the commit
-        fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".ptr.tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(meta["version"]))
-        os.replace(tmp, os.path.join(mdir, "_current"))
+        with self._commit_lock():
+            # optimistic concurrency: validate that the version this
+            # operation planned against is still the head.  Without this
+            # two concurrent writers both swap _current and the loser's
+            # commit silently vanishes from the chain.
+            if expect_parent is not None:
+                head = self.current_version()
+                if head != expect_parent:
+                    raise CommitConflictError(
+                        f"table advanced to v{head} while committing "
+                        f"v{meta['version']} (planned against "
+                        f"v{expect_parent}); re-read and retry"
+                    )
+            vpath = os.path.join(mdir, f"v{meta['version']:08d}.json")
+            with open(vpath, "w") as f:
+                json.dump(meta, f, indent=1, sort_keys=True)
+            # atomic pointer swap — the commit
+            fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".ptr.tmp")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(meta["version"]))
+            os.replace(tmp, os.path.join(mdir, "_current"))
 
     def current_version(self) -> int:
         with open(os.path.join(self.path, "metadata", "_current")) as f:
@@ -659,7 +738,8 @@ class LakeTable:
                 "committed_epochs": self._prune_epochs(committed),
                 "summary": summary,
                 "parent": meta["version"],
-            }
+            },
+            expect_parent=meta["version"],
         )
         self._buckets_cache[new_version] = buckets
         return {"skipped": False, "version": new_version, **summary}
@@ -686,7 +766,8 @@ class LakeTable:
                 "committed_epochs": self._prune_epochs(committed),
                 "summary": {"operation": "overwrite", "epoch_id": epoch_id},
                 "parent": meta["version"],
-            }
+            },
+            expect_parent=meta["version"],
         )
         self._buckets_cache[new_version] = {b: list(dl) for b, dl in written.items()}
         return {"skipped": False, "version": new_version}
@@ -781,7 +862,8 @@ class LakeTable:
                     "buckets_compacted": sorted(todo.keys(), key=int),
                 },
                 "parent": meta["version"],
-            }
+            },
+            expect_parent=meta["version"],
         )
         self._buckets_cache[new_version] = buckets
         return {"skipped": False, "version": new_version, "compacted": len(todo)}
@@ -810,53 +892,65 @@ class LakeTable:
         """
         import shutil
 
-        cur = self.current_version()
-        floor = max(1, cur - int(keep_last) + 1)
-        mdir = os.path.join(self.path, "metadata")
-        existing = sorted(
-            int(f[1:9]) for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        expire = [v for v in existing if v < floor]
-        if not expire:
-            return {"skipped": True, "reason": f"nothing below v{floor}"}
-        # resolve BEFORE deleting anything (resolution may walk parents)
-        kept_dirs: set[str] = set()
-        for v in existing:
-            if v >= floor:
-                for dl in self.buckets_map(v).values():
-                    kept_dirs.update(dl)
-        floor_meta = self.metadata(floor)
-        floor_full = self.buckets_map(floor)
-        # rewrite the floor manifest as a self-contained checkpoint
-        floor_meta.pop("buckets_delta", None)
-        floor_meta["buckets"] = floor_full
-        floor_meta["parent"] = None
-        floor_meta["expired_below"] = True
-        # atomic rewrite (tmp + os.replace, the _write_metadata pattern):
-        # this becomes the only self-contained checkpoint the remaining
-        # chain depends on — a crash mid-write must not corrupt it
-        fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".floor.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(floor_meta, f, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(mdir, f"v{floor:08d}.json"))
-        # drop expired manifests, then any data dir no kept version references
-        for v in expire:
-            os.unlink(os.path.join(mdir, f"v{v:08d}.json"))
-        # bucket-map entries are per-bucket subdirs ("data/v…/_bucket=N");
-        # reclaim at the commit-dir level: a commit dir survives if ANY of
-        # its bucket subdirs is still referenced
-        kept_commit_dirs = {d.split("/")[1] for d in kept_dirs if d.startswith("data/")}
-        data_root = os.path.join(self.path, "data")
-        removed = 0
-        if os.path.isdir(data_root):
-            for d in os.listdir(data_root):
-                if d not in kept_commit_dirs:
-                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                    removed += 1
-        self._buckets_cache = {
-            v: m for v, m in self._buckets_cache.items() if v >= floor
-        }
+        with self._commit_lock():
+            cur = self.current_version()
+            floor = max(1, cur - int(keep_last) + 1)
+            mdir = os.path.join(self.path, "metadata")
+            existing = sorted(
+                int(f[1:9]) for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            expire = [v for v in existing if v < floor]
+            if not expire:
+                return {"skipped": True, "reason": f"nothing below v{floor}"}
+            # resolve BEFORE deleting anything (resolution may walk parents)
+            kept_dirs: set[str] = set()
+            for v in existing:
+                if v >= floor:
+                    for dl in self.buckets_map(v).values():
+                        kept_dirs.update(dl)
+            floor_meta = self.metadata(floor)
+            floor_full = self.buckets_map(floor)
+            # rewrite the floor manifest as a self-contained checkpoint
+            floor_meta.pop("buckets_delta", None)
+            floor_meta["buckets"] = floor_full
+            floor_meta["parent"] = None
+            floor_meta["expired_below"] = True
+            # atomic rewrite (tmp + os.replace, the _write_metadata
+            # pattern): this becomes the only self-contained checkpoint
+            # the remaining chain depends on — a crash mid-write must not
+            # corrupt it.  The whole resolve→rewrite→delete sequence runs
+            # under the commit lock so a concurrent merge cannot commit a
+            # version whose parents are being deleted out from under it.
+            fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".floor.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(floor_meta, f, indent=1, sort_keys=True)
+            os.replace(tmp, os.path.join(mdir, f"v{floor:08d}.json"))
+            # drop expired manifests, then any data dir no kept version
+            # references
+            for v in expire:
+                os.unlink(os.path.join(mdir, f"v{v:08d}.json"))
+            # bucket-map entries are per-bucket subdirs
+            # ("data/v…/_bucket=N"); reclaim at the commit-dir level: a
+            # commit dir survives if ANY of its bucket subdirs is still
+            # referenced.  Deletion stays under the lock — a concurrent
+            # commit's fresh data dirs are not in kept_commit_dirs and
+            # must not be sweepable.
+            kept_commit_dirs = {
+                d.split("/")[1] for d in kept_dirs if d.startswith("data/")
+            }
+            data_root = os.path.join(self.path, "data")
+            removed = 0
+            if os.path.isdir(data_root):
+                for d in os.listdir(data_root):
+                    if d not in kept_commit_dirs:
+                        shutil.rmtree(
+                            os.path.join(data_root, d), ignore_errors=True
+                        )
+                        removed += 1
+            self._buckets_cache = {
+                v: m for v, m in self._buckets_cache.items() if v >= floor
+            }
         return {
             "skipped": False,
             "expired_versions": expire,

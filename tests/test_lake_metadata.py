@@ -368,3 +368,85 @@ def test_read_keys_point_lookup(spark, tmp_path):
     assert got == {("r1", "p3"): "new", ("r1", "p7"): "v7"}
     # empty key set → empty result
     assert t.read_keys(keys.limit(0)).count() == 0
+
+
+class TestCommitConcurrency:
+    """Round-4 multi-writer safety: commits validate their parent under
+    an atomic lock and CONFLICT instead of silently dropping the other
+    writer's version (the Iceberg optimistic-concurrency contract)."""
+
+    def test_stale_parent_commit_conflicts(self, spark, tmp_path):
+        from tap_postgres_spark.lake import CommitConflictError
+
+        path = str(tmp_path / "occ")
+        t1 = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], num_buckets=2)
+        t2 = LakeTable(spark, path)
+        # t2 plans a merge against v1 by reading metadata lazily inside
+        # merge_into — so force the interleave at the metadata layer:
+        # t1 commits first, then a commit planned against the old head
+        meta_old = t2.metadata()
+        t1.merge_into(_batch(spark, [("r", "a", "x", 10)]), epoch_id="w1")
+        with pytest.raises(CommitConflictError, match="advanced"):
+            t2._write_metadata(
+                {**meta_old, "version": meta_old["version"] + 1,
+                 "summary": {"operation": "merge-mor", "lineage": {}},
+                 "parent": meta_old["version"]},
+                expect_parent=meta_old["version"],
+            )
+        # the winning chain is intact and a re-planned merge applies fine
+        assert t2.current_version() == 2
+        t2.merge_into(_batch(spark, [("r", "b", "y", 11)]), epoch_id="w2")
+        assert {r["path"] for r in t2.read().collect()} == {"a", "b"}
+
+    def test_concurrent_threads_one_conflicts_or_serializes(self, spark, tmp_path):
+        """Two threads merging the SAME table: every surviving version
+        chain is linear (no lost commit), and each thread either lands
+        its commit or gets a clean CommitConflictError to retry."""
+        import threading
+
+        from tap_postgres_spark.lake import CommitConflictError
+
+        path = str(tmp_path / "race")
+        LakeTable.create(spark, path, SCHEMA, ["repo", "path"], num_buckets=2)
+        errors, done = [], []
+
+        def writer(tag: str):
+            t = LakeTable(spark, path)
+            for i in range(3):
+                while True:
+                    try:
+                        t = LakeTable(spark, path)  # re-read head (retry)
+                        t.merge_into(
+                            _batch(spark, [("r", f"{tag}{i}", "v", hash(tag) % 50 + i)]),
+                            epoch_id=f"{tag}-{i}",
+                        )
+                        done.append(f"{tag}-{i}")
+                        break
+                    except CommitConflictError:
+                        errors.append(tag)
+                        continue
+
+        th = [threading.Thread(target=writer, args=(t,)) for t in ("A", "B")]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        t = LakeTable(spark, path)
+        # all six commits landed (retries resolved every conflict)
+        assert len(done) == 6
+        # the chain is linear from head to create with no gaps
+        versions = [h["version"] for h in t.history()]
+        assert versions == list(range(t.current_version(), 0, -1))
+        assert t.read().count() == 6
+
+    def test_stale_lock_is_broken(self, spark, tmp_path, monkeypatch):
+        import os as _os
+
+        path = str(tmp_path / "stale")
+        t = LakeTable.create(spark, path, SCHEMA, ["repo", "path"], num_buckets=2)
+        lock = _os.path.join(path, "metadata", "_commit.lock")
+        open(lock, "w").write("dead")
+        _os.utime(lock, (1, 1))  # ancient mtime → stale
+        monkeypatch.setattr(LakeTable, "LOCK_STALE_SECONDS", 5.0)
+        t.merge_into(_batch(spark, [("r", "a", "x", 10)]), epoch_id="e")
+        assert t.current_version() == 2 and not _os.path.exists(lock)
