@@ -482,21 +482,37 @@ class LakeTable:
             )
         return df.drop(SDC_GEN)
 
-    def read_keys(self, keys_df: DataFrame) -> DataFrame:
-        """Point read: rows whose key appears in ``keys_df`` (a DataFrame
-        carrying the key columns).  Three pruning layers compose: bucket
-        pruning opens only the buckets the keys hash to, the pushed key
-        predicate lets parquet skip row groups (selective on compacted
-        files, which are key-clustered), and the final LWW fold runs over
-        the surviving rows only.  ``keys_df`` is collected — point reads
-        are for small key sets; use a broadcast join against ``read()``
-        for large ones."""
+    def read_keys(
+        self, keys_df: DataFrame, *, pushdown_limit: int = 128
+    ) -> DataFrame:
+        """Point/batch read: rows whose key appears in ``keys_df`` (a
+        DataFrame carrying the key columns).  Two strategies, switched on
+        the key count:
+
+        - ``≤ pushdown_limit`` keys (point reads): keys are collected
+          and three pruning layers compose — bucket pruning opens only
+          the buckets the keys hash to, the pushed OR-of-keys predicate
+          lets parquet skip row groups (selective on compacted files,
+          which are key-clustered), and the LWW fold runs over the
+          survivors only.
+        - larger key sets (batch lookups — e.g. re-scoring a changelog's
+          keys): NO row collect and no predicate tree.  Bucket pruning
+          still applies (the distinct-bucket list is bounded by
+          ``num_buckets``, never by the key count), then a broadcast
+          LEFT SEMI join filters the pruned scan.  At 10^6 lookup keys
+          against 10^10 rows this reads only the touched buckets and
+          ships only the key set — the OR-chain alternative would build
+          a 10^6-term predicate the optimizer cannot even analyze.
+        """
         keys = self.key_columns
-        rows = keys_df.select(*keys).distinct().collect()
-        bks = self.buckets_for_keys(keys_df.select(*keys))
+        kdf = keys_df.select(*keys).distinct()
+        probe = kdf.limit(pushdown_limit + 1).collect()
+        bks = self.buckets_for_keys(kdf)
         df = self.read(buckets=bks)
+        if len(probe) > pushdown_limit:
+            return df.join(F.broadcast(kdf), keys, "left_semi")
         pred = None
-        for r in rows:
+        for r in probe:
             one = None
             for k in keys:
                 c = F.col(k) == F.lit(r[k])

@@ -438,6 +438,26 @@ class CdcPipeline:
                 classified.unpersist()
 
     # ------------------------------------------------------------------
+    def replay_dead_letters(
+        self, path: str, epoch_id: str
+    ) -> dict[str, Any]:
+        """Re-apply quarantined payloads through the normal pipeline —
+        the recovery half of the dead-letter contract.  ``path`` is a
+        quarantine dir written by a previous batch (``epoch=<id>`` leaf
+        or the whole ``dead_letter_dir`` tree); typical flow: inspect
+        the (lsn, txid, payload, reason) rows, fix the payloads (or the
+        upstream bug that produced them) by rewriting the parquet, then
+        replay under a fresh epoch id.
+
+        Safe by construction: rows that are STILL unappliable simply
+        quarantine again under the new epoch (no loss, no loop), clean
+        rows merge with full LWW semantics — a quarantined-then-fixed
+        event older than what the table already holds loses the fold
+        exactly like any late replay, and the epoch guard makes the
+        whole replay idempotent."""
+        raw = self.spark.read.parquet(path).select("lsn", "txid", "payload")
+        return self.apply_batch(raw, epoch_id=epoch_id)
+
     def advance_to_tip(self, tip_lsn: int) -> None:
         """Idle-exit semantics (reference wal_reader.py:167-176 + tests
         :408-427): when fully caught up, advance ALL bookmarks to the

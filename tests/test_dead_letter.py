@@ -118,3 +118,51 @@ def test_dead_letter_crash_replay_idempotent(spark, tmp_path):
     r2 = pipeline.apply_batch(_raw(spark, feed.events), epoch_id="b-0")
     assert r2["dead_letter"]["rows"] == r1["dead_letter"]["rows"]
     assert spark.read.parquet(r2["dead_letter"]["path"]).count() == n1
+
+
+def test_replay_dead_letters_after_fix(spark, tmp_path):
+    """The recovery half of the quarantine contract: fix a quarantined
+    payload, replay the dead-letter dir under a fresh epoch, and the
+    row lands; still-broken rows re-quarantine without duplication."""
+    import json as _json
+
+    dl_dir = str(tmp_path / "dead_letter")
+    pipeline = _make(spark, tmp_path, dl_dir)
+    good = _json.dumps({
+        "action": "I", "schema": SCHEMA_NAME, "table": TABLE_NAME,
+        "columns": [
+            {"name": "repo", "type": "text", "value": "rX"},
+            {"name": "path", "type": "text", "value": "pX"},
+            {"name": "commit", "type": "text", "value": "c1"},
+            {"name": "lang", "type": "text", "value": "py"},
+            {"name": "content", "type": "text", "value": "fixed!"},
+        ],
+    })
+    broken = good[:-5]  # truncated JSON → malformed
+    rows = [(100, 1, broken), (101, 1, "{not json at all")]
+    res = pipeline.apply_batch(_raw_payloads(spark, rows), epoch_id="b0")
+    assert res["dead_letter"]["rows"] == 2
+    table = list(pipeline.tables.values())[0]
+    assert table.read().filter("repo = 'rX'").count() == 0
+
+    # operator fixes ONE payload in the quarantine dir, leaves the other
+    dl_path = res["dead_letter"]["path"]
+    fixed = spark.createDataFrame(
+        [(100, 1, good, "malformed"), (101, 1, "{not json at all", "malformed")],
+        "lsn long, txid long, payload string, reason string",
+    )
+    fixed.write.mode("overwrite").parquet(dl_path)
+
+    res2 = pipeline.replay_dead_letters(dl_path, epoch_id="dl-retry-1")
+    got = table.read().filter("repo = 'rX'").collect()
+    assert len(got) == 1 and got[0]["content"] == "fixed!"
+    # the still-broken row re-quarantined under the new epoch
+    assert res2["dead_letter"]["rows"] == 1
+    # replaying the same epoch again is a no-op (epoch guard)
+    v = table.current_version()
+    res3 = pipeline.replay_dead_letters(dl_path, epoch_id="dl-retry-1")
+    assert table.current_version() == v
+
+
+def _raw_payloads(spark, rows):
+    return spark.createDataFrame(rows, "lsn long, txid long, payload string")

@@ -368,6 +368,20 @@ def test_read_keys_point_lookup(spark, tmp_path):
     assert got == {("r1", "p3"): "new", ("r1", "p7"): "v7"}
     # empty key set → empty result
     assert t.read_keys(keys.limit(0)).count() == 0
+    # large-key-set strategy (semi-join, no row collect): same results
+    big = t.read().select("repo", "path")  # every live key
+    via_join = {
+        (r["repo"], r["path"]): r["content"]
+        for r in t.read_keys(big, pushdown_limit=4).collect()
+    }
+    assert via_join == {
+        (r["repo"], r["path"]): r["content"] for r in t.read().collect()
+    }
+    # and the two strategies agree on the small probe set too
+    assert {
+        (r["repo"], r["path"]): r["content"]
+        for r in t.read_keys(keys, pushdown_limit=1).collect()
+    } == got
 
 
 class TestCommitConcurrency:
