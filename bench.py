@@ -196,7 +196,9 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
             chunk = files[i * per : (i + 1) * per]
             if not chunk:
                 continue
-            raw = spark.read.parquet(*[os.path.join(feed_dir, f) for f in chunk])
+            raw = spark.read.schema("lsn long, txid long, payload string").parquet(
+                *[os.path.join(feed_dir, f) for f in chunk]
+            )  # explicit schema: no per-batch footer-inference pass
             pipeline.apply_batch(raw, epoch_id=f"bench-{i}")
         # end-of-run maintenance uses the steady-state policy (tiered: fold
         # the delta tier, keep the base) — a sustained 10^10-event ingest

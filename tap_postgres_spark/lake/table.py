@@ -100,11 +100,24 @@ def _count_rows(files: list[str]) -> int:
 def _footer_max_column(files: list[str], column: str) -> int | None:
     """Max value of ``column`` across files, read from parquet row-group
     statistics — no data scan, no Spark job.  None if stats are absent."""
+    return _footer_stats(files, column)[1]
+
+
+def _footer_stats(
+    files: list[str], column: str | None
+) -> tuple[int, int | None]:
+    """(row count, max of ``column``) across files in ONE footer parse
+    per file — the commit path reads both, and parsing every footer
+    twice doubled the per-commit driver-side metadata cost."""
     import pyarrow.parquet as pq
 
+    rows = 0
     best: int | None = None
     for f in files:
         md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        if column is None:
+            continue
         try:
             idx = md.schema.names.index(column)
         except ValueError:
@@ -115,7 +128,7 @@ def _footer_max_column(files: list[str], column: str) -> int | None:
                 v = st.max
                 if best is None or v > best:
                     best = v
-    return best
+    return rows, best
 
 
 class LakeTable:
@@ -709,31 +722,27 @@ class LakeTable:
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
 
-        rows_written = _count_rows(
-            [
-                f
-                for dl in written.values()
-                for d in dl
-                for f in _list_parquet_files(os.path.join(self.path, d))
-            ]
-        )
         committed = dict(meta["committed_epochs"])
         if epoch_id is not None:
             committed[epoch_id] = new_version
-        # per-partition (bucket) LSN watermarks from parquet footer stats —
-        # the north-rule "checkpoints carrying per-partition LSN watermarks",
-        # at zero extra Spark jobs (row-group min/max statistics)
+        # per-partition (bucket) LSN watermarks + row count from parquet
+        # footer stats — the north-rule "checkpoints carrying
+        # per-partition LSN watermarks", at zero extra Spark jobs (row-
+        # group min/max statistics); ONE footer parse per file covers
+        # both the count and the watermark
+        has_lsn = any(f.name == SDC_LSN for f in new_schema.fields)
+        rows_written = 0
         bucket_watermarks = {}
-        if any(f.name == SDC_LSN for f in new_schema.fields):
-            for b, dl in written.items():
-                files = [
-                    f
-                    for d in dl
-                    for f in _list_parquet_files(os.path.join(self.path, d))
-                ]
-                wm = _footer_max_column(files, SDC_LSN)
-                if wm is not None:
-                    bucket_watermarks[b] = int(wm)
+        for b, dl in written.items():
+            files = [
+                f
+                for d in dl
+                for f in _list_parquet_files(os.path.join(self.path, d))
+            ]
+            n, wm = _footer_stats(files, SDC_LSN if has_lsn else None)
+            rows_written += n
+            if wm is not None:
+                bucket_watermarks[b] = int(wm)
         summary = {
             "operation": f"merge-{mode}",
             "epoch_id": epoch_id,
