@@ -204,9 +204,13 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
         # the delta tier, keep the base) — a sustained 10^10-event ingest
         # never pays an O(table) full rewrite inside the ingest path; the
         # pipeline's auto-compaction runs the same tiered mode with a
-        # periodic full pass
+        # periodic full pass.  Retention runs inside the timed path too
+        # (keep_last=4 expires the earliest merge versions here), so the
+        # headline number includes the third maintenance op, not just
+        # compaction.
         for t in tables.values():
             t.compact(max_delta_depth=1, include_base=False)
+            t.expire_versions(keep_last=4)
         elapsed = time.time() - t0
         d = [b - a for a, b in zip(c0, cpu_snap())]
         tot = max(sum(d), 1)

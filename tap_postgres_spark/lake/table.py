@@ -216,11 +216,17 @@ class LakeTable:
                     except OSError:
                         continue  # holder released between EEXIST and stat
                     if age > self.LOCK_STALE_SECONDS:
-                        # stale (crashed holder): break it and retry
+                        # stale (crashed holder): CLAIM the break via
+                        # rename — exactly one breaker's rename succeeds,
+                        # so a second waiter cannot unlink the first
+                        # breaker's freshly-created lock (the unlink-then-
+                        # create race)
+                        stale = f"{lock_path}.stale-{uuid.uuid4().hex[:8]}"
                         try:
-                            os.unlink(lock_path)
+                            os.rename(lock_path, stale)
+                            os.unlink(stale)
                         except OSError:
-                            pass
+                            pass  # another waiter claimed the break
                         continue
                     if _time.monotonic() > deadline:
                         raise TimeoutError(
