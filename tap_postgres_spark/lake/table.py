@@ -80,6 +80,18 @@ SDC_GEN = "_sdc_gen"
 _HELPER_COLS = ("_action", "txid", _BUCKET, "__status", "__fqn", "__ncols")
 
 
+def _dir_version(commit_dir: str) -> int | None:
+    """Version embedded in a commit-dir name (``v00000007-ab12cd34`` → 7);
+    ``None`` for names that don't follow the layout."""
+    if (
+        len(commit_dir) >= 9
+        and commit_dir[0] == "v"
+        and commit_dir[1:9].isdigit()
+    ):
+        return int(commit_dir[1:9])
+    return None
+
+
 def _list_parquet_files(directory: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(directory):
@@ -964,9 +976,16 @@ class LakeTable:
             # bucket-map entries are per-bucket subdirs
             # ("data/v…/_bucket=N"); reclaim at the commit-dir level: a
             # commit dir survives if ANY of its bucket subdirs is still
-            # referenced.  Deletion stays under the lock — a concurrent
-            # commit's fresh data dirs are not in kept_commit_dirs and
-            # must not be sweepable.
+            # referenced.  The sweep is additionally bounded BY VERSION
+            # PREFIX (< floor): writers stage their data dirs BEFORE
+            # taking the commit lock, so a concurrent in-flight merge's
+            # fresh ``v{cur+1}-…`` dir is unreferenced by every kept
+            # manifest yet must survive — without the prefix guard this
+            # sweep would delete it and the writer would then commit
+            # metadata pointing at removed files (silent data loss).
+            # Unreferenced dirs AT or ABOVE the floor (crashed writers,
+            # failed commits) are :meth:`vacuum`'s job, behind an age
+            # horizon.
             kept_commit_dirs = {
                 d.split("/")[1] for d in kept_dirs if d.startswith("data/")
             }
@@ -974,11 +993,15 @@ class LakeTable:
             removed = 0
             if os.path.isdir(data_root):
                 for d in os.listdir(data_root):
-                    if d not in kept_commit_dirs:
-                        shutil.rmtree(
-                            os.path.join(data_root, d), ignore_errors=True
-                        )
-                        removed += 1
+                    if d in kept_commit_dirs:
+                        continue
+                    v_of_d = _dir_version(d)
+                    if v_of_d is not None and v_of_d >= floor:
+                        continue
+                    shutil.rmtree(
+                        os.path.join(data_root, d), ignore_errors=True
+                    )
+                    removed += 1
             self._buckets_cache = {
                 v: m for v, m in self._buckets_cache.items() if v >= floor
             }
@@ -987,4 +1010,62 @@ class LakeTable:
             "expired_versions": expire,
             "floor_version": floor,
             "data_dirs_removed": removed,
+        }
+
+    def vacuum(self, *, min_age_seconds: float = 86_400.0) -> dict[str, Any]:
+        """Remove orphaned data dirs (the Iceberg ``remove_orphan_files``
+        analog): commit dirs under ``data/`` referenced by NO existing
+        manifest version.  Orphans accumulate from crashed writers (data
+        staged, commit never happened) and failed/conflicted commits —
+        at a 10^10-event ingest's commit cadence that leak is unbounded,
+        and neither compaction nor :meth:`expire_versions` reclaims dirs
+        at or above the retention floor.
+
+        Safety: writers stage data BEFORE taking the commit lock, so an
+        unreferenced dir may be an in-flight commit.  Two guards make
+        the sweep safe: the whole resolve→delete runs under the commit
+        lock (no commit can land mid-sweep), and only dirs whose mtime
+        is older than ``min_age_seconds`` are touched — an in-flight
+        writer's staging dir is always younger than any sane horizon
+        (default 24 h, Iceberg's ``older_than`` default 3 days serves
+        the same purpose).  Pass ``min_age_seconds=0`` only on a
+        known-quiesced table (tests do).
+        """
+        import shutil
+        import time as _time
+
+        with self._commit_lock():
+            mdir = os.path.join(self.path, "metadata")
+            existing = sorted(
+                int(f[1:9]) for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            referenced: set[str] = set()
+            for v in existing:
+                for dl in self.buckets_map(v).values():
+                    referenced.update(d.split("/")[1] for d in dl)
+            data_root = os.path.join(self.path, "data")
+            removed: list[str] = []
+            kept_young = 0
+            now = _time.time()
+            if os.path.isdir(data_root):
+                for d in sorted(os.listdir(data_root)):
+                    if d in referenced:
+                        continue
+                    try:
+                        age = now - os.path.getmtime(os.path.join(data_root, d))
+                    except OSError:
+                        continue  # vanished concurrently (not possible
+                        # under the lock, but harmless to skip)
+                    if age < min_age_seconds:
+                        kept_young += 1
+                        continue
+                    shutil.rmtree(
+                        os.path.join(data_root, d), ignore_errors=True
+                    )
+                    removed.append(d)
+        return {
+            "orphan_dirs_removed": len(removed),
+            "removed": removed,
+            "kept_young": kept_young,
         }

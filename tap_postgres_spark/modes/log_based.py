@@ -406,6 +406,12 @@ class CdcPipeline:
                             results[fqn]["retention"] = table.expire_versions(
                                 keep_last=self.retention_keep_last
                             )
+                            # orphan GC rides the retention cadence: dirs
+                            # staged by crashed/conflicted writers are
+                            # invisible to expire_versions (they sit at or
+                            # above the floor); the 24 h default horizon
+                            # keeps any in-flight writer safe
+                            results[fqn]["vacuum"] = table.vacuum()
                     else:
                         results[fqn]["compaction"] = table.compact(
                             include_base=False

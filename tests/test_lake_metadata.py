@@ -464,3 +464,90 @@ class TestCommitConcurrency:
         monkeypatch.setattr(LakeTable, "LOCK_STALE_SECONDS", 5.0)
         t.merge_into(_batch(spark, [("r", "a", "x", 10)]), epoch_id="e")
         assert t.current_version() == 2 and not _os.path.exists(lock)
+
+
+class TestVacuumAndSweepSafety:
+    """vacuum() orphan GC + the expire_versions sweep's version-prefix
+    guard (an in-flight writer stages data BEFORE the commit lock, so
+    retention must never sweep unreferenced dirs at/above the floor)."""
+
+    def _table(self, spark, tmp_path, name="vac"):
+        from tests.test_lake_merge import SCHEMA, _batch
+
+        t = LakeTable.create(
+            spark, str(tmp_path / name), SCHEMA, ["repo", "path"], num_buckets=2
+        )
+        for i in range(4):
+            t.merge_into(
+                _batch(spark, [("r1", f"k{i}", f"v{i}", 10 + i, None)]),
+                epoch_id=f"e{i}",
+            )
+        return t
+
+    def _fake_staged_dir(self, t, version):
+        """Simulate a writer that staged data but never committed."""
+        import uuid
+
+        d = os.path.join(
+            t.path, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(os.path.join(d, "_bucket=0"))
+        with open(os.path.join(d, "_bucket=0", "part-0.parquet"), "wb") as f:
+            f.write(b"not really parquet")
+        return d
+
+    def test_vacuum_removes_old_orphans_keeps_referenced_and_young(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        before = sorted(map(tuple, t.read().collect()))
+        old_orphan = self._fake_staged_dir(t, t.current_version() + 1)
+        past = os.path.getmtime(old_orphan) - 7 * 86_400
+        os.utime(old_orphan, (past, past))
+        young_orphan = self._fake_staged_dir(t, t.current_version() + 2)
+
+        res = t.vacuum(min_age_seconds=3600)
+        assert res["orphan_dirs_removed"] == 1
+        assert os.path.basename(old_orphan) in res["removed"]
+        assert not os.path.exists(old_orphan)
+        assert os.path.exists(young_orphan)  # inside the age horizon
+        assert res["kept_young"] == 1
+        # every referenced dir untouched: table reads identically
+        assert sorted(map(tuple, t.read().collect())) == before
+        # second pass with horizon 0 reclaims the young orphan too
+        assert t.vacuum(min_age_seconds=0)["orphan_dirs_removed"] == 1
+        assert sorted(map(tuple, t.read().collect())) == before
+
+    def test_vacuum_keeps_dirs_referenced_only_by_old_versions(
+        self, spark, tmp_path
+    ):
+        # time-travel reads of EVERY existing version must survive vacuum
+        t = self._table(spark, tmp_path)
+        t.compact(max_delta_depth=1)  # strands folded dirs from v-1's map
+        v1_rows = t.read(version=2).count()
+        assert t.vacuum(min_age_seconds=0)["orphan_dirs_removed"] == 0
+        assert t.read(version=2).count() == v1_rows
+
+    def test_expire_sweep_spares_inflight_staging_dir(self, spark, tmp_path):
+        from tests.test_lake_merge import _batch
+
+        t = self._table(spark, tmp_path)
+        cur = t.current_version()
+        # concurrent writer staged its data for v{cur+1} but has not
+        # committed yet (no manifest references it, mtime = now)
+        staged = self._fake_staged_dir(t, cur + 1)
+        res = t.expire_versions(keep_last=2)
+        assert not res["skipped"]
+        # the guard: unreferenced BUT at/above the floor → spared
+        assert os.path.exists(staged)
+        # a crashed writer's dir BELOW the floor is still reclaimed
+        import shutil
+
+        shutil.rmtree(staged)
+        below = self._fake_staged_dir(t, 1)
+        t.merge_into(
+            _batch(spark, [("r1", "z", "zz", 99, None)]), epoch_id="z"
+        )
+        res2 = t.expire_versions(keep_last=2)
+        assert not res2["skipped"]
+        assert not os.path.exists(below)
