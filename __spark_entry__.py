@@ -592,6 +592,27 @@ def q_minhash_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (round 4): NEW documents (doc_id % 10
+    == 0) probe a PREBUILT banded-signature index over the corpus (the
+    other 90%) — textops.probe_minhash_index, the O(|new|) half of
+    dedup against a 10^10-doc corpus.  The index side never shuffles
+    (probe side broadcast); the hot-bucket cap is evaluated over
+    matched buckets only.  In production the index is the `minhash`
+    derived table maintained off the CDC changelog
+    (tools/submit_derived.py)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    index = textops.minhash_banded(
+        corpus, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_SH_K
+    )
+    return textops.probe_minhash_index(
+        index, new, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        shingle_k=_SH_K, max_bucket_size=_MH_MAX_BUCKET,
+    ).select("probe_doc_id", F.col("doc_id").alias("corpus_doc_id"))
+
+
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup materializer: documents surviving MinHash-LSH dedup
     (pair losers dropped; oversized-bucket members deduped by the
@@ -1251,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         # new in round 4 — inside the 50-row window for first certification
         "semantic_dedup_deep": q_semantic_dedup_deep,
+        "minhash_index_probe": q_minhash_index_probe,
         # --- certified in CORRECTNESS_r03, re-certifying this round ---
         "full_table_scan": q_full_table_scan,
         "incremental_scan": q_incremental_scan,
@@ -2067,6 +2089,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": _minhash_sig_sql(),
         "minhash_lsh_pairs": _minhash_pairs_sql(),
+        "minhash_index_probe": f"""
+            WITH sig AS ({_minhash_sig_sql()}),
+            banded0 AS ({_banded_sql('sig')}),
+            corpus AS (SELECT * FROM banded0 WHERE doc_id % 10 <> 0),
+            probe AS (SELECT * FROM banded0 WHERE doc_id % 10 = 0),
+            ok AS (
+              SELECT band, key FROM corpus GROUP BY band, key
+              HAVING count(DISTINCT doc_id) <= {_MH_MAX_BUCKET}
+            )
+            SELECT DISTINCT p.doc_id AS probe_doc_id,
+                            c.doc_id AS corpus_doc_id
+            FROM probe p
+            JOIN corpus c ON p.band = c.band AND p.key = c.key
+            JOIN ok ON ok.band = c.band AND ok.key = c.key
+        """,
         "minhash_lsh_oversized": f"""
             WITH sig AS ({_minhash_sig_sql()}),
             banded0 AS ({_banded_sql('sig')})

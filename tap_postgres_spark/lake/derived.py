@@ -66,15 +66,25 @@ def bootstrap_derived(
     transform: Transform,
     *,
     num_buckets: int | None = None,
+    extra_keys: "tuple[str, ...]" = (),
 ) -> LakeTable:
     """Create a derived table from a full transform of the base head —
     the one O(|table|) pass; every later :func:`refresh_derived` is
     O(|changes|).  Stamped with the base version it saw, so the first
-    incremental refresh picks up exactly where the bootstrap stopped."""
+    incremental refresh picks up exactly where the bootstrap stopped.
+
+    ``extra_keys`` declares a MULTI-ROW derivation: the transform emits
+    several rows per base key, disambiguated by the named columns (e.g.
+    a banded MinHash index emits one row per ``band``), and the derived
+    table is keyed on ``base keys + extra_keys``.  The transform must
+    emit a FIXED extra-key set per base key (every update re-emits all
+    of them, so LWW overwrites row-for-row and leaves no stale rows);
+    refreshes then need an ``expand_tombstones`` callback so a base
+    delete tombstones every derived row of that key."""
     to_v = base.current_version()
     live = base.read()  # LWW-folded, tombstones dropped, carries _sdc_lsn
     out = transform(live)
-    keys = base.key_columns
+    keys = base.key_columns + list(extra_keys)
     _check_transform_output(out, keys)
     schema = T.StructType(list(out.schema.fields))
     if SDC_DELETED_AT not in out.columns:
@@ -96,6 +106,7 @@ def refresh_derived(
     transform: Transform,
     *,
     to_version: int | None = None,
+    expand_tombstones: Transform | None = None,
 ) -> dict[str, Any]:
     """Bring ``derived`` up to the base head by transforming ONLY the
     keys the base changelog touched since the last refresh.
@@ -121,7 +132,14 @@ def refresh_derived(
             "version": derived.current_version(),
         }
     changes = base.read_changes(from_v, to_v)
-    keys = base.key_columns
+    keys = derived.key_columns  # base keys + any extra_keys
+    extra = [k for k in keys if k not in base.key_columns]
+    if extra and expand_tombstones is None:
+        raise ValueError(
+            f"derived table is keyed on extra columns {extra}; pass "
+            "expand_tombstones to map each base delete to all derived "
+            "rows of that key"
+        )
     live = changes.filter(F.col(SDC_DELETED_AT).isNull())
     ups = transform(live)
     _check_transform_output(ups, keys)
@@ -131,8 +149,15 @@ def refresh_derived(
             "propagated from the base changelog"
         )
     tombs = changes.filter(F.col(SDC_DELETED_AT).isNotNull()).select(
-        *keys, F.col(SDC_LSN), F.col(SDC_DELETED_AT)
+        *base.key_columns, F.col(SDC_LSN), F.col(SDC_DELETED_AT)
     )
+    if expand_tombstones is not None:
+        tombs = expand_tombstones(tombs)
+        missing = [c for c in keys if c not in tombs.columns]
+        if missing:
+            raise ValueError(
+                f"expand_tombstones output missing key columns: {missing}"
+            )
     batch = ups.withColumn(
         SDC_DELETED_AT, F.lit(None).cast("string")
     ).unionByName(tombs, allowMissingColumns=True)

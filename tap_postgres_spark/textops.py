@@ -254,14 +254,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _ids(id_col: "str | Sequence[str]") -> list[str]:
+    """Identity columns as a list — minhash accepts a single id column
+    (the documents-table shape) or a composite key (a lake table's
+    ``(repo, path)``)."""
+    return [id_col] if isinstance(id_col, str) else list(id_col)
+
+
 def _exploded_shingles(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+    df: DataFrame, text_col: str, id_col: "str | Sequence[str]", shingle_k: int
 ) -> DataFrame:
     """(id, sh) rows.  Tokenization is materialized in its own projection
     first: the shingle transform indexes the token array ~3× per element,
     and inlining the split+filter expression there makes it O(tokens²)
     per document (measured 10× slowdown at 5k docs)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = df.select(*_ids(id_col), tokens(F.col(text_col)).alias("__toks"))
     n = F.size(F.col("__toks"))
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
     sh = F.when(
@@ -277,20 +284,22 @@ def _exploded_shingles(
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", F.col("__toks"))))
-    return toks.select(F.col(id_col), F.explode(sh).alias("sh"))
+    return toks.select(*_ids(id_col), F.explode(sh).alias("sh"))
 
 
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: "str | Sequence[str]" = "doc_id",
     *,
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for each hash fn, the min over the
     doc's shingle hashes.  Exploded → groupBy(id) keeps everything
-    columnar; the aggregate is num_hashes MIN()s with map-side combine."""
+    columnar; the aggregate is num_hashes MIN()s with map-side combine.
+    ``id_col`` may be a composite key (e.g. a lake table's
+    ``("repo", "path")``)."""
     fam = _hash_family(num_hashes)
     sh = _exploded_shingles(df, text_col, id_col, shingle_k).withColumn(
         "h", md5_60bit(F.col("sh"))
@@ -298,13 +307,13 @@ def minhash_signatures(
     aggs = [
         F.min(_perm(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(fam)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(*_ids(id_col)).agg(*aggs)
 
 
 def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: "str | Sequence[str]" = "doc_id",
     *,
     num_hashes: int = 16,
     bands: int = 4,
@@ -326,8 +335,83 @@ def minhash_banded(
         )
         for bi in range(bands)
     ]
-    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    return sig.select(*_ids(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        *_ids(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def probe_minhash_index(
+    index_banded: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: "str | Sequence[str]" = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+    index_id_col: "str | Sequence[str] | None" = None,
+) -> DataFrame:
+    """Candidate near-duplicates of ``new_docs`` against a PREBUILT
+    banded-signature index — the O(|new|) half of corpus dedup.
+
+    ``index_banded`` is a :func:`minhash_banded` relation over the
+    corpus (typically a :mod:`~tap_postgres_spark.lake.derived` table
+    maintained incrementally off the CDC changelog).  New documents are
+    banded with the SAME parameters and joined on ``(band, key)``.
+
+    Scale shape: the probe side is |new|·bands rows and is explicitly
+    ``broadcast()`` — the 10^10-row index NEVER shuffles and is read
+    with only ``(ids…, band, key)`` projected.  ``max_bucket_size``
+    caps hot index buckets: the per-bucket count is taken over the
+    post-join candidates only (a window over rows that already matched
+    a probe key — O(candidates), never an O(corpus) aggregate), which
+    is exact because every index row of a matched bucket joins.
+
+    Returns one row per candidate (probe, corpus) id pair, probe ids
+    prefixed ``probe_``.  ``index_id_col`` names the index's identity
+    columns (default: every index column except ``band``/``key`` and
+    ``_sdc_*`` system columns — a lake-derived index keyed ``(repo,
+    path, band)`` probes correctly with no extra arguments); when probe
+    and index share id column names, a probe doc already in the corpus
+    has its self-match dropped.
+    """
+    ids = _ids(id_col)
+    if index_id_col is None:
+        idx_ids = [
+            c for c in index_banded.columns
+            if c not in ("band", "key") and not c.startswith("_sdc")
+        ]
+    else:
+        idx_ids = _ids(index_id_col)
+    probe = minhash_banded(
+        new_docs, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    ).select(
+        *[F.col(i).alias(f"probe_{i}") for i in ids], "band", "key"
+    )
+    hits = index_banded.select(*idx_ids, "band", "key").join(
+        F.broadcast(probe), ["band", "key"]
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        hits = (
+            hits.withColumn(
+                "_bn",
+                F.size(F.collect_set(F.struct(*idx_ids)).over(w)),
+            )
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    if set(ids) == set(idx_ids):
+        same = None
+        for i in ids:
+            c = F.col(i) == F.col(f"probe_{i}")
+            same = c if same is None else (same & c)
+        hits = hits.filter(~same)
+    return (
+        hits.select(*[f"probe_{i}" for i in ids], *idx_ids)
+        .distinct()
     )
 
 

@@ -164,3 +164,88 @@ def test_quality_and_chargram_transforms_refresh_incrementally(spark, tmp_path, 
             ).collect()
         }
         assert got == full
+
+
+class TestMinhashIndexDerived:
+    """Multi-row derivation (extra_keys): the banded MinHash corpus
+    index maintained incrementally off the CDC changelog, probed at
+    O(|new|) with textops.probe_minhash_index."""
+
+    BODY_A = "the quick brown fox jumps over the lazy dog again and again"
+    BODY_B = "completely different content about spark structured streaming"
+
+    def _mk(self, spark, tmp_path, base):
+        from tools.submit_derived import minhash_transform
+
+        transform, extra, expand = minhash_transform(base.key_columns)
+        derived = bootstrap_derived(
+            spark, base, str(tmp_path / "mhidx"), transform, extra_keys=extra
+        )
+        return derived, transform, expand
+
+    def _expected(self, base):
+        from tap_postgres_spark import textops
+
+        rows = textops.minhash_banded(
+            base.read(), "content", ["repo", "path"], bands=4
+        ).collect()
+        return {(r["repo"], r["path"], r["band"]): r["key"] for r in rows}
+
+    def _state(self, derived):
+        return {
+            (r["repo"], r["path"], r["band"]): r["key"]
+            for r in derived.read().collect()
+        }
+
+    def test_incremental_index_matches_full_recompute(
+        self, spark, tmp_path, base
+    ):
+        base.merge_into(
+            _batch(spark, [("r1", "a", self.BODY_A, 20, None),
+                           ("r2", "x", self.BODY_B, 21, None)]),
+            epoch_id="seed",
+        )
+        derived, transform, expand = self._mk(spark, tmp_path, base)
+        assert self._state(derived) == self._expected(base)
+        # update one doc, insert one, delete one — refresh is O(changes)
+        base.merge_into(
+            _batch(spark, [("r1", "a", self.BODY_A + " edited", 30, None),
+                           ("r3", "new", self.BODY_A, 31, None),
+                           ("r1", "b", None, 32, "2026-01-01T00:00:00")]),
+            epoch_id="churn",
+        )
+        res = refresh_derived(
+            base, derived, transform, expand_tombstones=expand
+        )
+        assert not res.get("skipped")
+        assert self._state(derived) == self._expected(base)
+        # deleted key left no stale band rows
+        assert all(k[:2] != ("r1", "b") for k in self._state(derived))
+
+    def test_refresh_without_expander_raises(self, spark, tmp_path, base):
+        derived, transform, _expand = self._mk(spark, tmp_path, base)
+        base.merge_into(
+            _batch(spark, [("r9", "p", "zzz", 40, None)]), epoch_id="e9"
+        )
+        with pytest.raises(ValueError, match="expand_tombstones"):
+            refresh_derived(base, derived, transform)
+
+    def test_probe_finds_near_dup_via_index(self, spark, tmp_path, base):
+        from tap_postgres_spark import textops
+
+        base.merge_into(
+            _batch(spark, [("r1", "a", self.BODY_A, 20, None),
+                           ("r2", "x", self.BODY_B, 21, None)]),
+            epoch_id="seed",
+        )
+        derived, _t, _e = self._mk(spark, tmp_path, base)
+        new_docs = spark.createDataFrame(
+            [("n1", self.BODY_A), ("n2", "unrelated text entirely here")],
+            "doc_id string, text string",
+        )
+        pairs = textops.probe_minhash_index(
+            derived.read(), new_docs, "text", "doc_id", bands=4
+        ).collect()
+        hits = {(r["probe_doc_id"], r["repo"], r["path"]) for r in pairs}
+        assert ("n1", "r1", "a") in hits  # exact body → all bands match
+        assert all(p != "n2" for p, _r, _pth in hits)

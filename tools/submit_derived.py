@@ -83,10 +83,51 @@ def chargram_transform(keys: list[str]):
     return _t
 
 
+_MINHASH_BANDS = 4
+
+
+def minhash_transform(keys: list[str]):
+    """Banded MinHash signature INDEX per key — the corpus-dedup index
+    maintained incrementally off CDC (multi-row derivation: one row per
+    (key, band), so the derived table is keyed on keys + band).  New
+    documents probe it with textops.probe_minhash_index at O(|new|)
+    instead of re-signing a 10^10-doc corpus."""
+    from pyspark.sql import functions as F
+
+    from tap_postgres_spark import textops
+
+    def _t(df: DataFrame) -> DataFrame:
+        # _sdc_lsn rides the signature groupBy as an extra grouping
+        # column: live rows are one-per-key, so (keys, lsn) groups are
+        # the same groups and the banded relation keeps the LSN without
+        # a rejoin shuffle
+        return textops.minhash_banded(
+            df.select(*keys, "_sdc_lsn", "content"),
+            "content", [*keys, "_sdc_lsn"],
+            bands=_MINHASH_BANDS,
+        )
+
+    def _expand(tombs: DataFrame) -> DataFrame:
+        return tombs.withColumn(
+            "band",
+            F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1))),
+        )
+
+    return _t, ("band",), _expand
+
+
+def _one_to_one(factory):
+    def _f(keys: list[str]):
+        return factory(keys), (), None
+
+    return _f
+
+
 TRANSFORMS = {
-    "fingerprint": fingerprint_transform,
-    "quality": quality_transform,
-    "chargram": chargram_transform,
+    "fingerprint": _one_to_one(fingerprint_transform),
+    "quality": _one_to_one(quality_transform),
+    "chargram": _one_to_one(chargram_transform),
+    "minhash": minhash_transform,
 }
 
 
@@ -95,13 +136,17 @@ def main() -> None:
     name = sys.argv[3] if len(sys.argv) > 3 else "fingerprint"
     spark = SparkSession.builder.getOrCreate()
     base = LakeTable(spark, base_dir)
-    transform = TRANSFORMS[name](base.key_columns)
+    transform, extra_keys, expand = TRANSFORMS[name](base.key_columns)
     if LakeTable.exists(derived_dir):
         derived = LakeTable(spark, derived_dir)
-        res = refresh_derived(base, derived, transform)
+        res = refresh_derived(
+            base, derived, transform, expand_tombstones=expand
+        )
         mode = "refresh"
     else:
-        derived = bootstrap_derived(spark, base, derived_dir, transform)
+        derived = bootstrap_derived(
+            spark, base, derived_dir, transform, extra_keys=extra_keys
+        )
         res = {"skipped": False, "version": derived.current_version()}
         mode = "bootstrap"
     print(
