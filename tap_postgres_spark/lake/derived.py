@@ -38,14 +38,17 @@ _EPOCH_PREFIX = "derived-from-base-v"
 Transform = Callable[[DataFrame], DataFrame]
 
 
-def refreshed_base_version(derived: LakeTable) -> int:
+def refreshed_base_version(
+    derived: LakeTable, prefix: str = _EPOCH_PREFIX
+) -> int:
     """Highest base-table version this derived table has applied (0 if
     never refreshed).  Read from the commit epochs, which double as the
-    idempotency guard — one source of truth for both."""
+    idempotency guard — one source of truth for both.  ``prefix``
+    selects the epoch family (vectorindex.py uses its own)."""
     vs = [
-        int(e[len(_EPOCH_PREFIX):])
+        int(e[len(prefix):])
         for e in derived.committed_epochs()
-        if e.startswith(_EPOCH_PREFIX)
+        if e.startswith(prefix)
     ]
     return max(vs, default=0)
 
