@@ -224,20 +224,25 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
 
     _warmup_pipeline(spark, work_dir)
     # the sandbox host is shared (measured CPU steal up to 33% and kernel
-    # time up to 90% in bad windows, with 2-4x wall-time swings between
-    # identical runs); best-of-N with every sample + its CPU breakdown
-    # recorded is the same protocol tools/bench_scaling.py uses
-    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
+    # time up to 90% in bad windows, with up to 6x wall-time swings
+    # between identical runs — a round-4 A/B against the round-3 snapshot
+    # confirmed the swings are the HOST, not the code: same pipeline,
+    # same feed, 45k vs 274k ev/s minutes apart); best-of-N with every
+    # sample + its CPU breakdown + loadavg recorded is the same protocol
+    # tools/bench_scaling.py uses.  3 samples by default: with bad
+    # windows lasting minutes, two samples too often BOTH land in one.
+    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3")))
     samples = []
     cpu_samples = []
     tables = None
     elapsed = None
     for _ in range(n_samples):
+        load1 = round(os.getloadavg()[0], 1)
         run_s, tables, cpu = one_run()  # every run rebuilds table_dir from
         samples.append(round(n_events / run_s, 1))  # scratch; replay is
-        cpu_samples.append(cpu)  # deterministic so the last table's state
-        if elapsed is None or run_s < elapsed:  # is THE state — verify
-            elapsed = run_s  # reads it
+        cpu_samples.append({**cpu, "load1": load1})  # deterministic so the
+        if elapsed is None or run_s < elapsed:  # last table's state is THE
+            elapsed = run_s  # state — verify reads it
 
     # --- verify: 60-bit-hash-sum certificate vs independent DuckDB fold ---
     # modular hash-sum (mod 1e6+3) keeps the certificate inside int64 even
