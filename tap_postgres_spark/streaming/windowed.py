@@ -119,3 +119,61 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["_h"])
         .select(id_col, text_col, F.col("_wm_ts").alias(ts_col))
     )
+
+
+def streaming_neardup_probe(
+    docs: DataFrame,
+    index_banded: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`~tap_postgres_spark.textops.probe_minhash_index`: each
+    micro-batch of NEW documents is banded and joined against the
+    STATIC corpus index — Spark's stream-static join, the shape a crawl
+    ingest uses to flag near-dups against the historical corpus as they
+    arrive.
+
+    Append-mode-legal by construction: the stream side bands PER ROW
+    (`textops.minhash_banded_rowwise` — pure expressions + explode, no
+    streaming aggregation, which could not precede the join), the
+    static index side is re-read per micro-batch from its source (so a
+    `lake.derived`-maintained index picks up refreshes between batches
+    without restarting the query).  Emits one row per (probe doc,
+    corpus doc) candidate pair; the per-pair exact verify
+    (`ngram_jaccard`) composes downstream in `foreachBatch` when
+    confirmation is needed.
+
+    The hot-bucket cap is NOT applied here: the cap in the batch probe
+    rides a window over the joined candidates, and that aggregation is
+    not supported on a stream-static join's output in append mode —
+    cap the INDEX side instead (drop oversized buckets at index build /
+    refresh time, where the count is a batch aggregation).
+    """
+    from .. import textops
+
+    ids = (
+        [id_col] if isinstance(id_col, str) else list(id_col)
+    )
+    idx_ids = [
+        c for c in index_banded.columns
+        if c not in ("band", "key") and not c.startswith("_sdc")
+    ]
+    probe = textops.minhash_banded_rowwise(
+        docs, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    ).select(
+        *[F.col(i).alias(f"probe_{i}") for i in ids], "band", "key"
+    )
+    hits = probe.join(index_banded.select(*idx_ids, "band", "key"), ["band", "key"])
+    if set(ids) == set(idx_ids):
+        same = None
+        for i in ids:
+            c = F.col(i) == F.col(f"probe_{i}")
+            same = c if same is None else (same & c)
+        hits = hits.filter(~same)
+    return hits.select(*[f"probe_{i}" for i in ids], *idx_ids)

@@ -310,6 +310,66 @@ def minhash_signatures(
     return sh.groupBy(*_ids(id_col)).agg(*aggs)
 
 
+def minhash_signature_cols(
+    text: Column, *, num_hashes: int = 16, shingle_k: int = 3
+) -> list[Column]:
+    """Per-ROW MinHash signature as pure column expressions (``mh0`` …):
+    the shingle hashes materialize once into an array, each signature
+    component is an ``array_min`` over a permuted copy.
+
+    Shuffle-free twin of :func:`minhash_signatures` (which explodes to
+    (id, shingle) rows and aggregates back — one shuffle of the shingle
+    relation).  Same arithmetic per document, identical output (pinned
+    in tests); use this form when the signature is an intermediate (the
+    per-doc row is already in hand) and the exploded form when the
+    shingle relation itself is reused.  Being aggregation-free it is
+    also the STREAMING-legal form: a stream can band per row and join a
+    static index in append mode, where a streaming groupBy could not
+    precede the join."""
+    fam = _hash_family(num_hashes)
+    harr = F.transform(shingles(text, shingle_k), lambda s: md5_60bit(s))
+    return [
+        F.array_min(F.transform(harr, lambda h: _perm(h, a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+
+
+def minhash_banded_rowwise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: "str | Sequence[str]" = "doc_id",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, key) banding via :func:`minhash_signature_cols` —
+    byte-identical to :func:`minhash_banded` with zero shuffles (explode
+    of ``bands`` structs per row only).  The streaming probe twin and
+    any per-row pipeline stage use this; see the sibling's docstring for
+    when the exploded-aggregation form wins."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        *_ids(id_col),
+        *minhash_signature_cols(
+            F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k
+        ),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(*_ids(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        *_ids(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
@@ -321,7 +381,8 @@ def minhash_banded(
 ) -> DataFrame:
     """(id, band, key) rows: each doc's signature split into ``bands``
     band keys — the LSH blocking relation shared by the pair join and the
-    hot-bucket guard."""
+    hot-bucket guard.  (:func:`minhash_banded_rowwise` is the
+    shuffle-free per-row twin.)"""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k

@@ -154,3 +154,86 @@ def test_streaming_dedup_exact_first_arrival_and_batch_parity(spark, tmp_path):
         r.doc_id for r in textops.dedup_exact(all_rows).collect()
     }
     assert survivors == batch
+
+
+def test_streaming_neardup_probe_matches_batch_probe(spark, tmp_path):
+    """streaming_neardup_probe: per-micro-batch stream-static join of
+    row-wise-banded new docs against a static corpus index; candidate
+    pairs equal the batch probe's (uncapped) over the same inputs."""
+    from tap_postgres_spark import textops
+    from tap_postgres_spark.streaming.windowed import streaming_neardup_probe
+
+    body_a = "the quick brown fox jumps over the lazy dog again and again"
+    body_b = "completely different content about spark structured streaming"
+    corpus = spark.createDataFrame(
+        [(100, body_a), (200, body_b), (300, "short text")],
+        "doc_id long, text string",
+    )
+    index = textops.minhash_banded(corpus, bands=4)
+
+    feed = str(tmp_path / "pfeed")
+    os.makedirs(feed)
+    out_dir = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    schema = "doc_id long, text string"
+    b1 = [(1, body_a), (2, "unrelated entirely")]
+    b2 = [(3, body_b), (4, "short text")]
+    for i, rows in enumerate((b1, b2), 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            feed + f"/f{i}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*/")
+    )
+    q = (
+        streaming_neardup_probe(stream, index, bands=4)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.probe_doc_id, r.doc_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.probe_doc_id, r.doc_id)
+        for r in textops.probe_minhash_index(
+            index, spark.createDataFrame(b1 + b2, schema), bands=4
+        ).collect()
+    }
+    assert got == batch
+    assert (1, 100) in got and (3, 200) in got and (4, 300) in got
+    assert all(p != 2 for p, _c in got)
+
+
+def test_minhash_banded_rowwise_equals_aggregated(spark):
+    """The shuffle-free per-row banding is byte-identical to the
+    exploded-aggregation form, including short/empty-doc fallbacks."""
+    from tap_postgres_spark import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "two words"),
+            (3, "one"),
+            (4, ""),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        (r.doc_id, r.band, r.key)
+        for r in textops.minhash_banded(docs, bands=4).collect()
+    }
+    b = {
+        (r.doc_id, r.band, r.key)
+        for r in textops.minhash_banded_rowwise(docs, bands=4).collect()
+    }
+    assert a == b
