@@ -424,10 +424,13 @@ def probe_minhash_index(
     Scale shape: the probe side is |new|·bands rows and is explicitly
     ``broadcast()`` — the 10^10-row index NEVER shuffles and is read
     with only ``(ids…, band, key)`` projected.  ``max_bucket_size``
-    caps hot index buckets: the per-bucket count is taken over the
-    post-join candidates only (a window over rows that already matched
-    a probe key — O(candidates), never an O(corpus) aggregate), which
-    is exact because every index row of a matched bucket joins.
+    caps hot index buckets: bucket sizes are counted over index rows
+    restricted to PROBED buckets (a broadcast semi-restriction, then a
+    map-side-combined count — tiny shuffle of (band, key, n) rows), and
+    only surviving buckets enter the pair join.  A 10^7-row degenerate
+    bucket therefore costs one pruned scan-and-count, never 10^7
+    materialized candidate pairs (the earlier window-over-candidates
+    form buffered the whole matched bucket before dropping it).
 
     Returns one row per candidate (probe, corpus) id pair, probe ids
     prefixed ``probe_``.  ``index_id_col`` names the index's identity
@@ -451,19 +454,20 @@ def probe_minhash_index(
     ).select(
         *[F.col(i).alias(f"probe_{i}") for i in ids], "band", "key"
     )
-    hits = index_banded.select(*idx_ids, "band", "key").join(
-        F.broadcast(probe), ["band", "key"]
-    )
+    index = index_banded.select(*idx_ids, "band", "key")
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "key")
-        hits = (
-            hits.withColumn(
-                "_bn",
-                F.size(F.collect_set(F.struct(*idx_ids)).over(w)),
-            )
+        matched = index.join(
+            F.broadcast(probe.select("band", "key").distinct()),
+            ["band", "key"],
+        )
+        ok = (
+            matched.groupBy("band", "key")
+            .agg(F.count("*").alias("_bn"))
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+        index = matched.join(F.broadcast(ok), ["band", "key"])
+    hits = index.join(F.broadcast(probe), ["band", "key"])
     if set(ids) == set(idx_ids):
         same = None
         for i in ids:

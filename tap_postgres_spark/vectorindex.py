@@ -1,44 +1,17 @@
 """Incrementally-maintained on-disk IVF vector index over a CDC lake
-table.
+table — the vector instantiation of
+:mod:`~tap_postgres_spark.lake.inverted` (cell = nearest trained
+centroid; see that module for the forward-map / move-tombstone / MOR
+fold machinery and the exactly-once contract).
 
 :func:`~tap_postgres_spark.vectorops.build_ivf_index` materializes the
 IVF layout once; at 100 TB the corpus keeps changing, and rebuilding a
-10^9-vector index per ingest epoch rereads the world.  This module keeps
-the index current at **O(|changes|)** per refresh by composing two
-existing pieces:
-
-- the base table's incremental changelog
-  (:meth:`~tap_postgres_spark.lake.table.LakeTable.read_changes` — only
-  the delta dirs between versions), and
-- a **forward map** (key → centroid_id), itself a key-bucketed
-  :class:`~tap_postgres_spark.lake.table.LakeTable`, so a changed key's
-  OLD cell is a bucket-pruned point lookup
-  (:meth:`~tap_postgres_spark.lake.table.LakeTable.read_keys`), never an
-  index scan.  This is the classic vector-DB design: the inverted file
-  answers "what lives in cell N", the forward map answers "which cell
-  holds key K" — deletion and cell-moves need the second question.
-
-On-disk layout under ``root/``::
-
-    cells/centroid_id=N/*.parquet   inverted file: MOR deltas per cell
-    map/                            forward-map LakeTable (key-bucketed)
-    index.json                      centroids + layout params
-
-Cell files are merge-on-read: a refresh APPENDS one delta per touched
-cell — live rows into the new cell, a tombstone (NULL vector) into the
-old cell when a vector moves or dies — and a search folds per key by
-``(_sdc_lsn, live)`` (live wins LSN ties: a cell-move writes its
-tombstone and its new row at the same change LSN, and the live row must
-win when both cells are probed).  Searches therefore stay **partition
-pruned** (only probed ``centroid_id=`` dirs are opened) while updates
-cost O(changed rows), with :func:`compact_cells` folding hot cells back
-to one file, mirroring the lake's own tiered maintenance.
-
-Refreshes are exactly-once the same way derived tables are: the forward
-map commits under epoch id ``ivf-from-base-v{N}``; a replayed refresh is
-a no-op before any data is written.  A crash BETWEEN the cell append and
-the map commit replays into duplicate delta rows, which the per-key fold
-collapses — idempotent by LWW, the same invariant the ingest path holds.
+10^9-vector index per ingest epoch rereads the world.  Here the refresh
+costs O(|changes|): changed vectors re-assign (broadcast-matmul above
+the k threshold, `ivf_assign_auto`), old cells come from a
+bucket-pruned forward-map lookup, and searches stay partition-pruned
+over probed ``centroid_id=`` dirs with the per-key ``(lsn, live)``
+fold; :func:`compact_cells` is the inverted file's tiered maintenance.
 
 Reference parity: the reference stops at the Singer stream
 (client.py:234-260 LOG_BASED bookmarks); this is the downstream
@@ -47,7 +20,6 @@ continuation of the same incremental contract, like lake/derived.py.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 
@@ -55,35 +27,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .lake import LakeTable
-from .lake.derived import refreshed_base_version
-from .operators.lww import fold_last_writer_wins_agg
-from .schema import SDC_DELETED_AT, SDC_LSN, widen_for_cdc
+from .lake.inverted import (
+    bootstrap_inverted,
+    compact_inverted,
+    read_inverted_meta,
+    refresh_inverted,
+    resolved_cells,
+)
 from .vectorops import cosine, ivf_assign_auto, probe_cells
 
-_EPOCH_PREFIX = "ivf-from-base-v"
-_LIVE = "_live"
+_CELL = "centroid_id"
+
+# back-compat alias: tests/CLI read the index meta through this name
+read_index_meta = read_inverted_meta
 
 
-def _meta_path(root: str) -> str:
-    return os.path.join(root, "index.json")
+def _assign_fn(meta_like: dict[str, Any]):
+    centroids = [(int(c), v) for c, v in meta_like["centroids"]]
+    vec_col = meta_like["vec_col"]
+    round_to = meta_like["assign_round_to"]
 
+    def _assign(df: DataFrame) -> DataFrame:
+        return ivf_assign_auto(
+            df.filter(F.col(vec_col).isNotNull()), centroids,
+            vec_col=vec_col, round_to=round_to,
+        )
 
-def _cells_path(root: str) -> str:
-    return os.path.join(root, "cells")
-
-
-def read_index_meta(root: str) -> dict[str, Any]:
-    with open(_meta_path(root)) as f:
-        return json.load(f)
-
-
-def _write_cells(assigned: DataFrame, root: str, n_cells: int, mode: str) -> None:
-    (
-        assigned.repartition(max(n_cells, 1), F.col("centroid_id"))
-        .write.mode(mode)
-        .partitionBy("centroid_id")
-        .parquet(_cells_path(root))
-    )
+    return _assign
 
 
 def bootstrap_ivf_index(
@@ -99,38 +69,16 @@ def bootstrap_ivf_index(
     vectors, write the cell layout, and create the forward map stamped
     with the base version — the first :func:`refresh_ivf_index` picks up
     exactly where this stopped."""
-    to_v = base.current_version()
-    keys = base.key_columns
-    live = base.read().filter(F.col(vec_col).isNotNull())
-    assigned = ivf_assign_auto(
-        live.select(*keys, SDC_LSN, vec_col), centroids,
-        vec_col=vec_col, round_to=assign_round_to,
-    ).withColumn(_LIVE, F.lit(1))
-    _write_cells(assigned, root, len(centroids), "overwrite")
-
-    map_schema = widen_for_cdc(
-        assigned.select(*keys, "centroid_id").schema
-    )
-    fmap = LakeTable.create(
-        spark, os.path.join(root, "map"), map_schema, keys,
-        num_buckets=base.num_buckets,
-    )
-    fmap.merge_into(
-        assigned.select(*keys, "centroid_id", SDC_LSN).withColumn(
-            SDC_DELETED_AT, F.lit(None).cast("string")
-        ),
-        epoch_id=f"{_EPOCH_PREFIX}{to_v}",
-    )
-    meta = {
+    extra = {
         "centroids": [[int(c), [float(x) for x in v]] for c, v in centroids],
         "vec_col": vec_col,
         "assign_round_to": assign_round_to,
-        "key_columns": list(keys),
     }
-    os.makedirs(root, exist_ok=True)
-    with open(_meta_path(root), "w") as f:
-        json.dump(meta, f)
-    return {"base_version": to_v, "cells": len(centroids)}
+    return bootstrap_inverted(
+        spark, base, root, _assign_fn(extra),
+        cell_col=_CELL, payload_cols=[vec_col],
+        n_cells=len(centroids), extra_meta=extra,
+    )
 
 
 def refresh_ivf_index(
@@ -139,91 +87,12 @@ def refresh_ivf_index(
     *,
     to_version: int | None = None,
 ) -> dict[str, Any]:
-    """Bring the index up to the base head at O(|changes|).
-
-    Per changed key: the NEW cell comes from re-assigning its vector,
-    the OLD cell from a bucket-pruned forward-map lookup.  The cell
-    delta is live rows into new cells plus tombstones into old cells for
-    moves/deletes; the forward map merges the same epoch.  Neither step
-    reads an unprobed cell or an untouched map bucket.
-    """
-    meta = read_index_meta(root)
-    keys = meta["key_columns"]
-    vec_col = meta["vec_col"]
-    centroids = [(int(c), v) for c, v in meta["centroids"]]
-    fmap = LakeTable(base.spark, os.path.join(root, "map"))
-
-    to_v = to_version if to_version is not None else base.current_version()
-    from_v = refreshed_base_version(fmap, _EPOCH_PREFIX)
-    if to_v <= from_v:
-        return {"skipped": True, "from": from_v, "to": to_v}
-    changes = base.read_changes(from_v, to_v)
-
-    live = changes.filter(
-        F.col(SDC_DELETED_AT).isNull() & F.col(vec_col).isNotNull()
+    """Bring the index up to the base head at O(|changes|) — see
+    :func:`~tap_postgres_spark.lake.inverted.refresh_inverted`."""
+    meta = read_inverted_meta(root)
+    return refresh_inverted(
+        base, root, _assign_fn(meta), to_version=to_version
     )
-    assigned = ivf_assign_auto(
-        live.select(*keys, SDC_LSN, vec_col), centroids,
-        vec_col=vec_col, round_to=meta["assign_round_to"],
-    )
-    # the changed-key set is small (O(|changes|)); localCheckpoint so the
-    # assignment pass runs once across its three consumers (new rows,
-    # old-cell lookup anti-condition, map merge)
-    assigned = assigned.localCheckpoint()
-    changed_keys = changes.select(*keys).distinct()
-    old_cells = fmap.read_keys(changed_keys).select(
-        *keys, F.col("centroid_id").alias("_old_cell")
-    )
-
-    new_rows = assigned.withColumn(_LIVE, F.lit(1))
-    # tombstone the old cell when the key died or moved cells; the
-    # change LSN stamps it so it beats the old row (lower LSN) and loses
-    # the tie to the new row (same LSN, _live=1 wins)
-    change_lsn = changes.groupBy(*keys).agg(F.max(SDC_LSN).alias(SDC_LSN))
-    moved_or_dead = (
-        change_lsn.join(old_cells, keys)
-        .join(
-            assigned.select(*keys, F.col("centroid_id").alias("_new_cell")),
-            keys, "left",
-        )
-        .filter(
-            F.col("_new_cell").isNull()
-            | (F.col("_new_cell") != F.col("_old_cell"))
-        )
-        .select(
-            *keys, SDC_LSN,
-            F.col("_old_cell").alias("centroid_id"),
-            F.lit(None).cast(new_rows.schema[vec_col].dataType).alias(vec_col),
-            F.lit(0).alias(_LIVE),
-        )
-    )
-    delta = new_rows.select(*keys, SDC_LSN, "centroid_id", vec_col, _LIVE).unionByName(
-        moved_or_dead.select(*keys, SDC_LSN, "centroid_id", vec_col, _LIVE)
-    )
-    _write_cells(delta, root, len(centroids), "append")
-
-    tombs = changes.filter(F.col(SDC_DELETED_AT).isNotNull()).select(
-        *keys, F.col(SDC_LSN), F.col(SDC_DELETED_AT)
-    )
-    map_batch = assigned.select(*keys, "centroid_id", SDC_LSN).withColumn(
-        SDC_DELETED_AT, F.lit(None).cast("string")
-    ).unionByName(tombs, allowMissingColumns=True)
-    res = fmap.merge_into(map_batch, epoch_id=f"{_EPOCH_PREFIX}{to_v}")
-    return {"skipped": False, "from": from_v, "to": to_v, "map_commit": res}
-
-
-def _resolved_cells(
-    spark: SparkSession, root: str, probe_ids: list[int], keys: list[str]
-) -> DataFrame:
-    """Probed cells with the per-key MOR fold applied: max (lsn, live)
-    per key, tombstones dropped.  The partition filter on centroid_id
-    prunes to the probed dirs; the fold is a map-side-combined max_by
-    over only those cells' rows."""
-    cells = spark.read.parquet(_cells_path(root)).filter(
-        F.col("centroid_id").isin([int(p) for p in probe_ids])
-    )
-    folded = fold_last_writer_wins_agg(cells, keys, (SDC_LSN, _LIVE))
-    return folded.filter(F.col(_LIVE) == 1)
 
 
 def search_ivf_index(
@@ -239,11 +108,11 @@ def search_ivf_index(
     open ONLY the probed cell dirs, fold MOR deltas per key, score the
     survivors exactly.  Equals a full rebuild + search at the same base
     version (pinned in tests)."""
-    meta = read_index_meta(root)
+    meta = read_inverted_meta(root)
     keys = meta["key_columns"]
     centroids = [(int(c), v) for c, v in meta["centroids"]]
     probe_ids = probe_cells(query_vec, centroids, n_probe)
-    resolved = _resolved_cells(spark, root, probe_ids, keys)
+    resolved = resolved_cells(spark, root, probe_ids)
     q = F.lit([float(v) for v in query_vec])
     scored = resolved.select(
         *keys,
@@ -257,31 +126,6 @@ def search_ivf_index(
 def compact_cells(
     spark: SparkSession, root: str, *, cells: list[int] | None = None
 ) -> int:
-    """Fold the MOR deltas of the given cells (default: all) back to one
-    resolved file each — the inverted file's tiered maintenance.  Uses
-    dynamic partition overwrite so untouched cells keep their files.
-    Returns the number of cells rewritten."""
-    meta = read_index_meta(root)
-    keys = meta["key_columns"]
-    path = _cells_path(root)
-    df = spark.read.parquet(path)
-    if cells is not None:
-        df = df.filter(F.col("centroid_id").isin([int(c) for c in cells]))
-    folded = fold_last_writer_wins_agg(df, keys, (SDC_LSN, _LIVE)).filter(
-        F.col(_LIVE) == 1
-    )
-    n_cells = (
-        len(cells) if cells is not None else len(meta["centroids"])
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            folded.repartition(max(n_cells, 1), F.col("centroid_id"))
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return n_cells
+    """Tiered maintenance of the inverted file — see
+    :func:`~tap_postgres_spark.lake.inverted.compact_inverted`."""
+    return compact_inverted(spark, root, cells=cells)

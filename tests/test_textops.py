@@ -269,3 +269,35 @@ def test_chargram_sketch_rolling_matches_reference_and_contract(spark):
     assert got[1] == ref(base) and got[3] == ref(other)
     assert len(set(got[1]) & set(got[2])) >= 6  # insert-robust
     assert len(set(got[1]) & set(got[3])) == 0
+
+
+def test_probe_index_hot_bucket_cap_and_plan(spark):
+    """probe_minhash_index's cap: a degenerate corpus bucket (many
+    identical docs) is excluded from the pair join, its rows never
+    becoming candidates; normal buckets still pair.  The probe side is
+    broadcast (no index shuffle for the join) and no cartesian product
+    appears."""
+    hot = [(i, "boilerplate header repeated everywhere verbatim") for i in range(20)]
+    corpus = spark.createDataFrame(
+        hot + [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    index = textops.minhash_banded(corpus, bands=4)
+    probes = spark.createDataFrame(
+        [
+            (1000, "boilerplate header repeated everywhere verbatim"),
+            (2000, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = textops.probe_minhash_index(
+        index, probes, bands=4, max_bucket_size=3
+    )
+    got = {(r.probe_doc_id, r.doc_id) for r in capped.collect()}
+    assert got == {(2000, 100)}  # hot bucket suppressed, normal pairs survive
+    uncapped = textops.probe_minhash_index(index, probes, bands=4)
+    got_all = {(r.probe_doc_id, r.doc_id) for r in uncapped.collect()}
+    assert (2000, 100) in got_all and (1000, 0) in got_all
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
