@@ -114,6 +114,10 @@ def test_pipeline_retention_expires_after_full_compact(spark, tmp_path):
         res = pipe.apply_batch(raw, epoch_id=f"e{i}")
         if res["streams"]["public.t_a"].get("retention", {}).get("skipped") is False:
             retention_fired = True
+            # orphan GC rides the same cadence (round 4); steady-state
+            # ingest has no orphans, so it reports zero removals
+            vac = res["streams"]["public.t_a"]["vacuum"]
+            assert vac["orphan_dirs_removed"] == 0
     assert retention_fired
     # history bounded: without retention ~30 versions accumulate over the
     # run; with it, only the tail since the last firing plus the window
