@@ -309,6 +309,95 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
     }
 
 
+def bench_index_maintenance(spark, work_dir: str, n_events: int) -> dict:
+    """Index-maintenance cost on the bench lake table (the O(|changes|)
+    claim, measured): digest-index bootstrap over the final replay state
+    (the one O(|table|) pass), then a ~5% churn feed applied through the
+    pipeline and an INCREMENTAL index refresh — refresh wall should
+    track the churn size, not the table size."""
+    from tap_postgres_spark.digestindex import (
+        bootstrap_digest_index,
+        refresh_digest_index,
+    )
+    from tap_postgres_spark.feedgen import generate_bulk_feed
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+    from pyspark.sql import types as T
+
+    table_dir = os.path.join(work_dir, "lake", "source_code_repos")
+    if not LakeTable.exists(table_dir):
+        return {"skipped": "no single-stream bench table"}
+    table = LakeTable(spark, table_dir)
+    root = os.path.join(work_dir, "digest-index")
+    shutil.rmtree(root, ignore_errors=True)
+
+    t0 = time.time()
+    bootstrap_digest_index(spark, table, root, n_cells=64)
+    bootstrap_s = round(time.time() - t0, 2)
+    boot_v = table.current_version()
+    rows_indexed = table.read().count()
+
+    churn_events = max(20_000, n_events // 100)
+    churn_dir = os.path.join(work_dir, f"churn-feed-{churn_events}")
+    if not os.path.exists(os.path.join(churn_dir, "_DONE")):
+        shutil.rmtree(churn_dir, ignore_errors=True)
+        generate_bulk_feed(
+            churn_dir, n_events=churn_events,
+            n_keys=max(10_000, n_events // 8),  # same key space as replay
+            n_files=8, seed=7, base_lsn=100_000_000,
+        )
+        open(os.path.join(churn_dir, "_DONE"), "w").write("ok")
+    schema = T.StructType(
+        [
+            T.StructField(n, T.StringType(), True)
+            for n in ("repo", "path", "commit", "lang", "content")
+        ]
+    )
+    fqn = "public.source_code_repos"
+    pipe = CdcPipeline(
+        spark,
+        [StreamDef("public", "source_code_repos", schema, ("repo", "path"))],
+        {fqn: {c: "text" for c in ("repo", "path", "commit", "lang", "content")}},
+        {fqn: table},
+        StateStore(os.path.join(work_dir, "bench-state.json")),
+    )
+    raw = spark.read.schema("lsn long, txid long, payload string").parquet(
+        *[
+            os.path.join(churn_dir, f)
+            for f in sorted(os.listdir(churn_dir))
+            if f.endswith(".parquet")
+        ]
+    )
+    pipe.apply_batch(raw, epoch_id="bench-churn")
+
+    t0 = time.time()
+    refresh_digest_index(table, root)
+    refresh_s = round(time.time() - t0, 2)
+    # structural O(|changes|) evidence, independent of host noise: the
+    # refresh's changelog walk opens only the data dirs the churned
+    # range committed, never the table's older dirs
+    touched_dirs: set = set()
+    for v in range(boot_v + 1, table.current_version() + 1):
+        m = table.metadata(v)
+        if m["summary"].get("operation", "").startswith("merge-mor"):
+            touched_dirs.update(
+                d.split("/")[1]
+                for dl in m["summary"]["lineage"].values()
+                for d in dl
+            )
+    total_dirs = len(os.listdir(os.path.join(table.path, "data")))
+    return {
+        "rows_indexed": rows_indexed,
+        "bootstrap_s": bootstrap_s,
+        "churn_events": churn_events,
+        "refresh_s": refresh_s,
+        "refresh_touched_data_dirs": len(touched_dirs),
+        "table_data_dirs": total_dirs,
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
@@ -335,6 +424,9 @@ def main() -> None:
     cdc = bench_cdc_replay(
         spark, sf, work_dir, int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
     )
+    indexes: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_INDEXES") != "1":
+        indexes = bench_index_maintenance(spark, work_dir, cdc["events"])
     queries: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
         queries = bench_queries(spark, sf_dir)
@@ -359,6 +451,7 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         "cdc": cdc_line,
+        "indexes": indexes,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
