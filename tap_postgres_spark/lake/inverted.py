@@ -136,6 +136,11 @@ def bootstrap_inverted(
         "source_cols": list(src),
         "key_columns": list(keys),
         "n_cells": int(n_cells),
+        # cell-file schema, for reading an index whose corpus was empty
+        # at bootstrap (no parquet files yet → nothing to infer from)
+        "cell_schema": assigned.select(
+            *keys, SDC_LSN, cell_col, *payload_cols, LIVE
+        ).schema.jsonValue(),
         **(extra_meta or {}),
     }
     os.makedirs(root, exist_ok=True)
@@ -225,7 +230,14 @@ def resolved_cells(
     filter prunes the scan to the probed dirs; the fold is a
     map-side-combined max_by over only those cells' rows."""
     meta = read_inverted_meta(root)
-    cells = spark.read.parquet(cells_path(root))
+    try:
+        cells = spark.read.parquet(cells_path(root))
+    except Exception:
+        # bootstrapped over an empty corpus: no files to infer from
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(meta["cell_schema"])
+        return spark.createDataFrame([], schema)
     if cell_ids is not None:
         cells = cells.filter(
             F.col(meta["cell_col"]).isin([int(c) for c in cell_ids])
@@ -248,7 +260,10 @@ def compact_inverted(
     meta = read_inverted_meta(root)
     cell_col = meta["cell_col"]
     path = cells_path(root)
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return 0  # empty-corpus index: nothing to fold
     if cells is not None:
         df = df.filter(F.col(cell_col).isin([int(c) for c in cells]))
     folded = fold_last_writer_wins_agg(

@@ -160,3 +160,21 @@ def test_compaction_keeps_answers_shrinks_files(spark, tmp_path, base):
     assert "alpha v0" in before["new"]  # superseded digest not a member
     n_after = len(glob.glob(os.path.join(root, "cells", "*", "*.parquet")))
     assert n_after < n_before
+
+
+def test_empty_corpus_bootstrap_then_grow(spark, tmp_path):
+    """Bootstrapping over an empty base is legal: probes answer 'all
+    new', compaction no-ops, and the first refresh populates cells."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "base"), SCHEMA, ["repo", "path"], num_buckets=2
+    )
+    root = str(tmp_path / "didx")
+    bootstrap_digest_index(spark, t, root, n_cells=4)
+    assert _probe(spark, root, ["anything"], "new") == ["anything"]
+    assert _probe(spark, root, ["anything"], "dup") == []
+    assert compact_digest_index(spark, root) == 0
+    t.merge_into(
+        _batch(spark, [("r1", "a", "first body", 10, None)]), epoch_id="e1"
+    )
+    refresh_digest_index(t, root)
+    assert _probe(spark, root, ["first body"], "dup") == ["first body"]
