@@ -140,13 +140,15 @@ def streaming_neardup_probe(
 
     Append-mode-legal by construction: the stream side bands PER ROW
     (`textops.minhash_banded_rowwise` — pure expressions + explode, no
-    streaming aggregation, which could not precede the join), the
-    static index side is re-read per micro-batch from its source (so a
-    `lake.derived`-maintained index picks up refreshes between batches
-    without restarting the query).  Emits one row per (probe doc,
-    corpus doc) candidate pair; the per-pair exact verify
-    (`ngram_jaccard`) composes downstream in `foreachBatch` when
-    confirmation is needed.
+    streaming aggregation, which could not precede the join).  The
+    static side's freshness follows its relation: a directory-based
+    parquet source re-lists files per micro-batch, while a
+    `LakeTable.read()` relation pins its snapshot's file list (the
+    lake's consistent-read contract) — to pick up index refreshes
+    mid-query, probe inside `foreachBatch` re-reading the table per
+    batch.  Emits one row per (probe doc, corpus doc) candidate pair;
+    the per-pair exact verify (`ngram_jaccard`) composes downstream the
+    same way.
 
     The hot-bucket cap is NOT applied here: the cap in the batch probe
     rides a window over the joined candidates, and that aggregation is
