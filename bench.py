@@ -14,7 +14,9 @@ Prints ONE JSON line:
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (override feed
-size), SPARK_GRAFT_BENCH_BATCHES (default 4), SPARK_GRAFT_SKIP_QUERIES=1.
+size), SPARK_GRAFT_BENCH_BATCHES (default 4), SPARK_GRAFT_SKIP_QUERIES=1,
+SPARK_GRAFT_SKIP_INDEXES=1, SPARK_GRAFT_BENCH_SAMPLES (default 3),
+SPARK_GRAFT_BENCH_STREAMS (default 1).
 """
 
 from __future__ import annotations

@@ -22,4 +22,4 @@ stream maps / schema flattening (`stream_maps`), the live-PostgreSQL JDBC
 source path (`sources`), and Singer message rendering (`singer`).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
