@@ -133,12 +133,12 @@ def probe_digest_index(
     probe_fps = fr.select(F.col("__fp").alias(_FP)).distinct()
     hit_fps = (
         resolved.join(F.broadcast(probe_fps), _FP, "left_semi")
-        .select(_FP)
-        .distinct()
-    )
+        .select(F.col(_FP).alias("__hit_fp"))  # fresh may carry its own
+        .distinct()                            # 'fp' column — keep the
+    )                                          # join key unambiguous
     how = "left_anti" if keep == "new" else "left_semi"
     return fr.join(
-        F.broadcast(hit_fps), fr["__fp"] == F.col(_FP), how
+        F.broadcast(hit_fps), fr["__fp"] == F.col("__hit_fp"), how
     ).drop("__fp")
 
 

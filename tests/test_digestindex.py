@@ -178,3 +178,19 @@ def test_empty_corpus_bootstrap_then_grow(spark, tmp_path):
     )
     refresh_digest_index(t, root)
     assert _probe(spark, root, ["first body"], "dup") == ["first body"]
+
+
+def test_probe_tolerates_fresh_fp_column(spark, tmp_path, base):
+    """A fresh batch that already carries an 'fp' column must not make
+    the membership join ambiguous."""
+    root = str(tmp_path / "didx")
+    bootstrap_digest_index(spark, base, root, n_cells=4)
+    fresh = spark.createDataFrame(
+        [(1, "alpha body", "user-fp"), (2, "novel", "x")],
+        "doc_id long, text string, fp string",
+    )
+    dup = probe_digest_index(spark, root, fresh, keep="dup").collect()
+    assert [r["text"] for r in dup] == ["alpha body"]
+    assert dup[0]["fp"] == "user-fp"  # caller's column untouched
+    new = {r["text"] for r in probe_digest_index(spark, root, fresh).collect()}
+    assert new == {"novel"}
