@@ -185,7 +185,11 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
             metrics_dir=os.path.join(work_dir, "metrics"),
             detect_evolution=True,
             merge_mode="mor",
-            concurrent_merges=min(n_streams, 4),
+            concurrent_merges=int(
+                os.environ.get(
+                    "SPARK_GRAFT_CONCURRENT_MERGES", min(n_streams, 4)
+                )
+            ),
             # steady-state maintenance defaults ride the headline path
             # every round: quarantine instead of dropping malformed
             # payloads, and expire snapshots on the full-compact cadence
