@@ -9,7 +9,7 @@ PySpark:
   become batch snapshot reads, bookmark-predicate scans, and a
   Structured-Streaming WAL-replay pipeline.
 - The Singer RECORD/SCHEMA/STATE message stream becomes an Iceberg-style
-  bucketed copy-on-write lake table (`tap_postgres_spark.lake`) with
+  bucketed merge-on-read lake table (`tap_postgres_spark.lake`) with
   MERGE-INTO upserts, additive schema evolution and commit-epoch dedup.
 - Row-at-a-time wal2json decoding (reference client.py:547-624,
   _wal_helpers.py:67-113) becomes a fully vectorized column pipeline
