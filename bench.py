@@ -404,16 +404,44 @@ def bench_index_maintenance(spark, work_dir: str, n_events: int) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
+    """Time every ``queries()`` entry (noop sink, full execution).
+
+    Host-noise protocol (same rationale as the CDC samples above): the
+    shared box shows multi-x wall swings between identical runs, and the
+    Python-worker-heavy queries (mapInPandas decode stages) are hit
+    hardest — a 2.5 s wav decode measured 26.8 s in one bad window.  The
+    sweep runs once, then any query slower than max(2 s, 3x the sweep
+    median) is re-timed once and the MIN kept; loadavg at start/end plus
+    the retimed list go into the certificate so an artifact reader can
+    attribute outliers.
+    """
     import __spark_entry__ as entry_mod
 
-    out: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    def one(fn) -> float:
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        return round(time.time() - t0, 3)
+
+    fns = entry_mod.queries()
+    load_start = round(os.getloadavg()[0], 1)
+    out = {name: one(fn) for name, fn in fns.items()}
+    med = sorted(out.values())[len(out) // 2] if out else 0.0
+    threshold = max(2.0, 3.0 * med)
+    retimed = {}
+    for name, first in out.items():
+        if first > threshold:
+            second = one(fns[name])
+            retimed[name] = {"first": first, "retime": second}
+            out[name] = min(first, second)
+    cert = {
+        "load1_start": load_start,
+        "load1_end": round(os.getloadavg()[0], 1),
+        "retime_threshold_s": round(threshold, 3),
+        "retimed": retimed,
+    }
+    return out, cert
 
 
 def main() -> None:
@@ -434,8 +462,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_INDEXES") != "1":
         indexes = bench_index_maintenance(spark, work_dir, cdc["events"])
     queries: dict[str, float] = {}
+    query_cert: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
-        queries = bench_queries(spark, sf_dir)
+        queries, query_cert = bench_queries(spark, sf_dir)
 
     total = round(cdc["seconds"] + sum(queries.values()), 2)
     # The driver tail-captures stdout and parses the LAST line as JSON
@@ -463,7 +492,8 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**line, "cdc": cdc}, f, indent=1, sort_keys=True)
+        json.dump({**line, "cdc": cdc, "query_cert": query_cert},
+                  f, indent=1, sort_keys=True)
     print(json.dumps(line, separators=(",", ":")), flush=True)
 
 
