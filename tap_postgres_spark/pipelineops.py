@@ -483,17 +483,25 @@ def quality_logit(
     from .textops import quality_features
 
     feats = quality_features(docs, text_col=text_col)
-    logit = (
+    logit = F.round(quality_logit_expr(), round_to)
+    return feats.select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        (logit > keep_threshold).alias("keep"),
+    )
+
+
+def quality_logit_expr() -> Column:
+    """The quality-classifier polynomial over :func:`textops.quality_features`
+    columns, unrounded — shared by :func:`quality_logit` and the composed
+    curation pipeline (:mod:`tap_postgres_spark.curation`), which filters
+    on it without projecting the document row away."""
+    return (
         F.lit(-1.0)
         + 4.0 * F.col("q_stopword_ratio")
         - 6.0 * F.col("q_punct_ratio")
         + 0.4 * F.log(F.greatest(F.col("q_tokens"), F.lit(1)).cast("double"))
         - 0.2 * F.abs(F.col("q_chars_per_token") - 5.0)
-    )
-    return feats.select(
-        "doc_id",
-        F.round(logit, round_to).alias("quality_logit"),
-        (F.round(logit, round_to) > keep_threshold).alias("keep"),
     )
 
 
