@@ -467,17 +467,15 @@ def main() -> None:
         queries, query_cert = bench_queries(spark, sf_dir)
 
     total = round(cdc["seconds"] + sum(queries.values()), 2)
-    # The driver tail-captures stdout and parses the LAST line as JSON
-    # (BENCH_r03 was recorded "parsed": null because the long line got
-    # truncated).  Keep the printed line COMPACT: tight separators, the
-    # cdc block trimmed to its headline fields; the full detail (per-run
-    # samples, cpu breakdowns, warmup note) goes to BENCH_QUERIES.json
-    # next to this script.
-    cdc_line = {
-        k: cdc[k]
-        for k in ("events", "batches", "seconds", "events_per_sec",
-                  "final_rows", "streams", "verify")
-    }
+    # The driver tail-captures the LAST 2000 chars of stdout and parses
+    # the final line as JSON (BENCH_r03 was recorded "parsed": null
+    # because the then-2.6KB line had its HEAD cut by that window).
+    # Keep the printed line under the window with margin: tight
+    # separators, a trimmed cdc block, 2-decimal query timings — and if
+    # the query surface grows past what fits, degrade explicitly
+    # (1-decimal, then a pointer to BENCH_QUERIES.json), never silently.
+    # Full detail (per-run samples, cpu breakdowns, index block, retime
+    # certificate) always goes to BENCH_QUERIES.json next to this script.
     line = {
         "metric": "cdc change-events/sec (see cdc.events_per_sec) + query wall",
         "value": total,
@@ -485,7 +483,11 @@ def main() -> None:
         "queries": {"cdc_replay": cdc["seconds"], **queries},
         "sf": sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
-        "cdc": cdc_line,
+        "cdc": {
+            k: cdc[k]
+            for k in ("events", "batches", "seconds", "events_per_sec",
+                      "final_rows", "streams", "verify")
+        },
         "indexes": indexes,
     }
     detail_path = os.path.join(
@@ -494,7 +496,31 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump({**line, "cdc": cdc, "query_cert": query_cert},
                   f, indent=1, sort_keys=True)
-    print(json.dumps(line, separators=(",", ":")), flush=True)
+
+    budget = 1900  # driver window is 2000; leave margin for a trailing newline etc.
+    def emit(ndigits: int) -> str:
+        slim = dict(line)
+        slim["metric"] = "cdc ev/s (cdc.events_per_sec) + query wall"
+        slim["queries"] = {k: round(v, ndigits)
+                           for k, v in line["queries"].items()}
+        slim["cdc"] = {k: cdc[k] for k in ("events", "events_per_sec", "verify")}
+        slim.pop("indexes", None)
+        return json.dumps(slim, separators=(",", ":"))
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > budget:
+        out = emit(2)
+    if len(out) > budget:
+        out = emit(1)
+    if len(out) > budget:
+        slim = dict(line)
+        slim["queries"] = {"cdc_replay": cdc["seconds"],
+                           "_detail": "BENCH_QUERIES.json",
+                           "_n_queries": len(queries),
+                           "_queries_total_s": round(sum(queries.values()), 2)}
+        slim["cdc"] = {k: cdc[k] for k in ("events", "events_per_sec", "verify")}
+        slim.pop("indexes", None)
+        out = json.dumps(slim, separators=(",", ":"))
+    print(out, flush=True)
 
 
 if __name__ == "__main__":
