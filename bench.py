@@ -490,9 +490,17 @@ def main() -> None:
         },
         "indexes": indexes,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
-    )
+    # Only refresh the committed detail artifact when the query sweep
+    # actually ran: scaling / CDC-only invocations (SKIP_QUERIES=1,
+    # e.g. tools/bench_scaling.py) would otherwise clobber the full
+    # 76-query record with an empty one.  Those runs write their detail
+    # to the work dir instead.
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
+        detail_path = os.path.join(work_dir, "BENCH_QUERIES.json")
+    else:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+        )
     with open(detail_path, "w") as f:
         json.dump({**line, "cdc": cdc, "query_cert": query_cert},
                   f, indent=1, sort_keys=True)
