@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from tap_postgres_spark import pipelineops, stream_maps, textops, vectorops
 from tap_postgres_spark.modes import full_table_scan, incremental_scan
 from tap_postgres_spark.operators import fold_last_writer_wins
+from tap_postgres_spark.operators.temporal import asof_join, range_join
 from tap_postgres_spark.schema import StreamDef
 from tap_postgres_spark.textops import _hash_family, _MERSENNE
 
@@ -1256,6 +1257,55 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent
+    purchase value at or before the click (backward inclusive), via the
+    segmented hot-key-safe plan (operators/temporal.py).  Right side is
+    pre-aggregated to one row per (user_id, ts) with an event_id
+    tie-break, per the operator's determinism contract."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pval"))
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", {"pval": "last_purchase_value"},
+        chunk_seconds=7 * 86400.0,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "last_purchase_value",
+    )
+
+
+def q_range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems whose extended price falls within ±5 of an
+    order's total price, counted per order — bucket-blocked so Catalyst
+    plans a hash join instead of the BroadcastNestedLoopJoin the raw
+    non-equi predicate forces (operators/temporal.py)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity"
+    )
+    bands = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_totalprice") - 5).alias("lo"),
+        (F.col("o_totalprice") + 5).alias("hi"),
+    )
+    j = range_join(
+        _fan_out(spark, li), bands, "l_extendedprice", "lo", "hi",
+        bucket_width=10.0,
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_close"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_close"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry / queries / oracle_sql
 # ---------------------------------------------------------------------------
@@ -1357,6 +1407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certification next round (judge-verifiable via
         # tools/verify_oracles.py meanwhile)
         "curate_corpus": q_curate_corpus,
+        # temporal joins (operators/temporal.py) — as-of exercises the
+        # segmented hot-key-safe plan, range the bucket-blocked hash join
+        "asof_join_events": q_asof_join_events,
+        "range_join_prices": q_range_join_prices,
     }
 
 
@@ -2616,4 +2670,28 @@ def oracle_sql() -> dict[str, str]:
             FROM per, tot
         """,
         "curate_corpus": _curate_corpus_sql(),
+        # DuckDB's native ASOF JOIN is an independent implementation of
+        # the same backward-inclusive semantics — a real cross-check,
+        # not an echo of the Spark union-window plan
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, arg_max(value, event_id) AS pval
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts)
+            SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   r.pval AS last_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_prices": """
+            SELECT o.o_orderkey AS o_orderkey,
+                   count(*) AS n_close,
+                   round(sum(l.l_quantity), 2) AS qty_close
+            FROM orders o JOIN lineitem l
+              ON l.l_extendedprice >= o.o_totalprice - 5
+             AND l.l_extendedprice <= o.o_totalprice + 5
+            GROUP BY o.o_orderkey
+        """,
     }

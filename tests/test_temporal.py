@@ -1,0 +1,165 @@
+"""As-of join and range join: correctness vs brute force, tie/tolerance
+semantics, segmented-plan equivalence (hot key), and plan shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tap_postgres_spark.operators.temporal import asof_join, range_join
+
+
+def _brute_asof(spark, left_rows, right_rows, tolerance_s=None):
+    """Reference: for each (k, t, i) left row pick right (k, rt, v)
+    with max rt <= t; python, O(n*m)."""
+    out = []
+    for (k, t, i) in left_rows:
+        best = None
+        for (rk, rt, v) in right_rows:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, v)
+        val = None
+        if best is not None and (tolerance_s is None or t - best[0] <= tolerance_s):
+            val = best[1]
+        out.append((i, k, t, val))
+    return sorted(out)
+
+
+def _run_asof(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, "k long, t double, i long").select(
+        "i", "k", "t"
+    )
+    right = spark.createDataFrame(right_rows, "k long, t double, v double")
+    got = asof_join(
+        left, right, ["k"], "t", "t", {"v": "last_v"}, **kw
+    )
+    assert got.columns == ["i", "k", "t", "last_v"]
+    return sorted(
+        (r.i, r.k, r.t, r.last_v) for r in got.collect()
+    )
+
+
+def test_asof_matches_brute_force(spark):
+    rng = random.Random(7)
+    left_rows = [(rng.randrange(5), float(rng.randrange(100)), i)
+                 for i in range(120)]
+    # unique (k, t) on the right per the operator contract
+    right_keys = {(rng.randrange(5), float(rng.randrange(100)))
+                  for _ in range(80)}
+    right_rows = [(k, t, round(rng.uniform(0, 10), 3))
+                  for (k, t) in sorted(right_keys)]
+    want = _brute_asof(spark, left_rows, right_rows)
+    assert _run_asof(spark, left_rows, right_rows) == want
+
+
+def test_asof_tie_is_inclusive_and_misses_are_null(spark):
+    got = _run_asof(
+        spark,
+        [(1, 10.0, 1), (1, 9.0, 2), (2, 5.0, 3)],
+        [(1, 10.0, 42.0), (1, 1.0, 7.0)],
+    )
+    assert got == [(1, 1, 10.0, 42.0), (2, 1, 9.0, 7.0), (3, 2, 5.0, None)]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left_rows = [(1, 100.0, 1), (1, 10.5, 2)]
+    right_rows = [(1, 10.0, 3.0)]
+    got = _run_asof(spark, left_rows, right_rows, tolerance_s=5.0)
+    assert got == _brute_asof(spark, left_rows, right_rows, tolerance_s=5.0)
+    assert got[0][3] is None and got[1][3] == 3.0
+
+
+def test_asof_chunked_equals_plain_on_hot_key(spark):
+    rng = random.Random(11)
+    # one dominant key (0) plus a few cold ones — the case the segmented
+    # plan exists for
+    left_rows = [(0 if rng.random() < 0.8 else rng.randrange(1, 4),
+                  float(rng.randrange(1000)), i) for i in range(300)]
+    right_keys = {(0 if rng.random() < 0.8 else rng.randrange(1, 4),
+                   float(rng.randrange(1000))) for _ in range(150)}
+    right_rows = [(k, t, round(rng.uniform(0, 10), 3))
+                  for (k, t) in sorted(right_keys)]
+    plain = _run_asof(spark, left_rows, right_rows)
+    for chunk in (50.0, 137.0, 10000.0):
+        assert _run_asof(spark, left_rows, right_rows,
+                         chunk_seconds=chunk) == plain
+    assert _run_asof(spark, left_rows, right_rows, chunk_seconds=50.0,
+                     tolerance_s=30.0) == _brute_asof(
+        spark, left_rows, right_rows, tolerance_s=30.0)
+
+
+def test_asof_left_rows_all_survive_and_empty_right(spark):
+    left_rows = [(1, 1.0, 1), (2, 2.0, 2)]
+    got = _run_asof(spark, left_rows, [])
+    assert got == [(1, 1, 1.0, None), (2, 2, 2.0, None)]
+
+
+def _run_range(spark, left_rows, right_rows, width, on=None):
+    left = spark.createDataFrame(left_rows, "lid long, val double, g long")
+    right = spark.createDataFrame(right_rows, "rid long, lo double, hi double, g2 long")
+    if on:
+        right = right.withColumnRenamed("g2", "g_r")
+        left = left.withColumn("g_r", F.col("g"))
+        keys = ["g_r"]
+    else:
+        keys = None
+    got = range_join(left, right, "val", "lo", "hi",
+                     on=keys, bucket_width=width)
+    return sorted((r.lid, r.rid) for r in got.collect())
+
+
+def test_range_join_matches_naive_filter(spark):
+    rng = random.Random(3)
+    left_rows = [(i, round(rng.uniform(0, 100), 2), rng.randrange(3))
+                 for i in range(150)]
+    right_rows = []
+    for j in range(60):
+        lo = round(rng.uniform(0, 95), 2)
+        right_rows.append((j, lo, round(lo + rng.uniform(0, 8), 2),
+                           rng.randrange(3)))
+    naive = sorted(
+        (lid, rid)
+        for (lid, v, _) in left_rows
+        for (rid, lo, hi, _) in right_rows
+        if lo <= v <= hi
+    )
+    for width in (1.0, 5.0, 50.0):
+        assert _run_range(spark, left_rows, right_rows, width) == naive
+
+
+def test_range_join_boundaries_inclusive_and_inverted_empty(spark):
+    left_rows = [(1, 10.0, 0), (2, 20.0, 0), (3, 10.5, 0)]
+    right_rows = [(7, 10.0, 20.0, 0), (8, 30.0, 25.0, 0)]  # 8 inverted
+    got = _run_range(spark, left_rows, right_rows, 4.0)
+    assert got == [(1, 7), (2, 7), (3, 7)]
+
+
+def test_range_join_with_equi_key(spark):
+    rng = random.Random(5)
+    left_rows = [(i, round(rng.uniform(0, 50), 2), rng.randrange(2))
+                 for i in range(80)]
+    right_rows = [(j, float(j % 40), float(j % 40) + 6.0, rng.randrange(2))
+                  for j in range(40)]
+    naive = sorted(
+        (lid, rid)
+        for (lid, v, g) in left_rows
+        for (rid, lo, hi, g2) in right_rows
+        if g == g2 and lo <= v <= hi
+    )
+    assert _run_range(spark, left_rows, right_rows, 6.0, on=True) == naive
+
+
+def test_range_join_plan_is_hash_join_not_nested_loop(spark):
+    left = spark.range(1000).select(
+        F.col("id").alias("lid"), (F.col("id") % 97).cast("double").alias("val")
+    )
+    right = spark.range(200).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 90).cast("double").alias("lo"),
+        ((F.col("id") % 90) + 5).cast("double").alias("hi"),
+    )
+    out = range_join(left, right, "val", "lo", "hi", bucket_width=5.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan, plan
