@@ -458,7 +458,8 @@ class LakeTable:
         return df.drop(SDC_GEN)
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int, to_version: int | None = None,
+        *, fold: bool = True,
     ) -> DataFrame:
         """Incremental changelog read (Iceberg incremental-scan parity):
         the change rows committed by merge versions in
@@ -466,6 +467,14 @@ class LakeTable:
         LWW-folded per key across the range so a downstream consumer can
         apply them idempotently.  Reads only the range's delta dirs
         (O(|changes|), never O(|table|)).
+
+        ``fold=False`` returns the RAW per-commit row versions instead
+        (one row per key per merge commit that touched it, tombstones
+        included) — the version-history relation a point-in-time join
+        (``operators.temporal.point_in_time_join``) consumes.  Note each
+        merge batch was already folded to one row per key at write time,
+        so intra-batch intermediate states are not recoverable; history
+        resolution is commit granularity.
 
         ``compact`` commits in the range are pass-through: a compact's
         data dirs are full-bucket rewrites, not change sets, but each
@@ -507,7 +516,7 @@ class LakeTable:
             v = parent
         schema = T.StructType.fromJson(self.metadata(to_v)["schema"])
         df = self._read_dirs(dirs, schema, with_gen=True)
-        if SDC_LSN in df.columns:
+        if fold and SDC_LSN in df.columns:
             df = fold_last_writer_wins_agg(
                 df, self.metadata(to_v)["key_columns"], (SDC_LSN, SDC_GEN)
             )

@@ -168,6 +168,50 @@ def asof_join(
     return _finish(F.coalesce(F.col("_m0"), F.col("_carry")), joined)
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: list[str],
+    fact_lsn_col: str,
+    value_cols: dict[str, str],
+    *,
+    lsn_col: str = "_sdc_lsn",
+    deleted_col: str = "_sdc_deleted_at",
+    chunk_lsns: float | None = None,
+) -> DataFrame:
+    """Temporal-table join (Flink's ``FOR SYSTEM_TIME AS OF`` analog):
+    enrich each fact row with the dimension values that were CURRENT at
+    the fact's LSN, from the dimension's CDC version history.
+
+    ``history`` is a version-history relation — one row per key per
+    change, stamped with ``lsn_col`` and carrying ``deleted_col``
+    tombstones — exactly what ``LakeTable.read_changes(0, fold=False)``
+    returns.  Facts that precede the key's first version, or land while
+    the key was deleted, get NULL enrichment (LEFT-outer; every fact
+    survives).  ``chunk_lsns`` forwards to :func:`asof_join`'s segmented
+    hot-key-safe plan (width in LSN units).
+
+    History resolution is commit granularity: each CDC merge batch was
+    LWW-folded at write time, so a fact LSN falling between two updates
+    folded into one commit resolves to the state BEFORE that commit.
+    """
+    vmap = {c: value_cols[c] for c in value_cols}
+    if deleted_col in history.columns:
+        vmap[deleted_col] = "_pit_deleted_at"
+    out = asof_join(
+        facts, history, on, fact_lsn_col, lsn_col, vmap,
+        chunk_seconds=chunk_lsns,
+    )
+    if deleted_col in history.columns:
+        for name in value_cols.values():
+            out = out.withColumn(
+                name,
+                F.when(F.col("_pit_deleted_at").isNull(), F.col(name)),
+            )
+        out = out.drop("_pit_deleted_at")
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

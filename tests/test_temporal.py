@@ -163,3 +163,63 @@ def test_range_join_plan_is_hash_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_point_in_time_join_against_lake_history(spark, tmp_path):
+    """Temporal-table join over LakeTable.read_changes(fold=False):
+    facts resolve to the dimension state current at their LSN, with
+    deletes windowing the key out and re-inserts bringing it back."""
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.operators.temporal import point_in_time_join
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    schema = widen_for_cdc(T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]))
+    bsch = ("repo string, path string, content string, _sdc_lsn long, "
+            "_sdc_deleted_at string")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(r, p, c, l, d) for r, p, c, l, d in rows], bsch)
+
+    t = LakeTable.create(spark, str(tmp_path / "dim"), schema,
+                         ["repo", "path"], num_buckets=4)
+    t.merge_into(batch([("r", "a", "v1", 10, None),
+                        ("r", "b", "v1", 11, None)]), epoch_id="e1")
+    t.merge_into(batch([("r", "a", "v2", 20, None),
+                        ("r", "b", None, 21, "2024-01-01"),
+                        ("r", "c", "v1", 22, None)]), epoch_id="e2")
+    t.merge_into(batch([("r", "b", "v3", 30, None)]), epoch_id="e3")
+
+    hist = t.read_changes(0, fold=False)
+    # raw mode keeps every per-commit version: a×2, b×3, c×1
+    assert hist.count() == 6
+
+    facts = spark.createDataFrame(
+        [(i, k, lsn) for i, (k, lsn) in enumerate([
+            ("a", 5), ("a", 10), ("a", 15), ("a", 25),
+            ("b", 11), ("b", 21), ("b", 25), ("b", 30), ("b", 35),
+            ("c", 21), ("c", 22), ("z", 40),
+        ])], "fact_id long, path string, lsn long",
+    ).withColumn("repo", F.lit("r"))
+
+    for chunk in (None, 8.0):
+        got = {
+            (r.path, r.lsn): r.content_then
+            for r in point_in_time_join(
+                facts, hist, ["repo", "path"], "lsn",
+                {"content": "content_then"}, chunk_lsns=chunk,
+            ).collect()
+        }
+        assert got == {
+            ("a", 5): None, ("a", 10): "v1", ("a", 15): "v1",
+            ("a", 25): "v2",
+            ("b", 11): "v1", ("b", 21): None, ("b", 25): None,
+            ("b", 30): "v3", ("b", 35): "v3",
+            ("c", 21): None, ("c", 22): "v1", ("z", 40): None,
+        }
