@@ -1299,6 +1299,7 @@ def q_range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = range_join(
         _fan_out(spark, li), bands, "l_extendedprice", "lo", "hi",
         bucket_width=10.0,
+        max_span_buckets=None,  # ±5 bands are known-bounded: pure hash plan
     )
     return j.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_close"),

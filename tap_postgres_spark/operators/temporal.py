@@ -221,6 +221,7 @@ def range_join(
     *,
     on: list[str] | None = None,
     bucket_width: float,
+    max_span_buckets: int | None = 4096,
 ) -> DataFrame:
     """Inner join of left rows whose ``left_value`` falls inside the
     right side's ``[lo_col, hi_col]`` interval (inclusive both ends),
@@ -235,26 +236,46 @@ def range_join(
     interval width: enumeration cost per interval is
     (hi-lo)/width + 1 rows, probe fan-out is always 1.
 
+    Oversized-interval escape hatch (the same structural move as the
+    LSH hot-bucket cap): an interval spanning more than
+    ``max_span_buckets`` buckets would explode the enumeration (one
+    corpus-wide interval = the whole value domain in bucket rows), so
+    those few rows are split off and joined via a broadcast non-equi
+    join instead — correct for any width choice, and the broadcast is
+    bounded because an interval that wide matching a meaningful
+    fraction of the left side is a cross-join-shaped query no blocking
+    can save.  Results are the union; a pair matches in exactly one
+    branch (branches partition the right side).  Pass
+    ``max_span_buckets=None`` to disable the hatch (pure hash-join
+    plan) when intervals are known-bounded.
+
     Column names must be disjoint across the two inputs (project first).
     Intervals with hi < lo match nothing.
     """
     keys = list(on or [])
     w = float(bucket_width)
-    rb = right.where(F.col(hi_col) >= F.col(lo_col)).withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(w)),
-                F.floor(F.col(hi_col) / F.lit(w)),
-            )
-        ),
+    live = right.where(F.col(hi_col) >= F.col(lo_col))
+    blo = F.floor(F.col(lo_col) / F.lit(w))
+    bhi = F.floor(F.col(hi_col) / F.lit(w))
+    small = (
+        live if max_span_buckets is None
+        else live.where(bhi - blo < max_span_buckets)
     )
+    rb = small.withColumn("_b", F.explode(F.sequence(blo, bhi)))
     lb = left.withColumn("_b", F.floor(F.col(left_value) / F.lit(w)))
-    return (
-        lb.join(rb, [*keys, "_b"], "inner")
-        .where(
-            (F.col(left_value) >= F.col(lo_col))
-            & (F.col(left_value) <= F.col(hi_col))
-        )
-        .drop("_b")
+    in_range = (F.col(left_value) >= F.col(lo_col)) & (
+        F.col(left_value) <= F.col(hi_col)
     )
+    bucketed = (
+        lb.join(rb, [*keys, "_b"], "inner").where(in_range).drop("_b")
+    )
+    if max_span_buckets is None:
+        return bucketed
+    oversized = live.where(bhi - blo >= max_span_buckets)
+    cond = in_range
+    for k in keys:
+        cond = cond & (left[k] == oversized[k])
+    escape = left.join(F.broadcast(oversized), cond, "inner")
+    if keys:  # drop the duplicated key columns from the broadcast side
+        escape = escape.drop(*[oversized[k] for k in keys])
+    return bucketed.unionByName(escape)

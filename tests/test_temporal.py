@@ -159,10 +159,19 @@ def test_range_join_plan_is_hash_join_not_nested_loop(spark):
         (F.col("id") % 90).cast("double").alias("lo"),
         ((F.col("id") % 90) + 5).cast("double").alias("hi"),
     )
-    out = range_join(left, right, "val", "lo", "hi", bucket_width=5.0)
+    # hatch disabled → pure hash-join plan, no nested loop anywhere
+    out = range_join(left, right, "val", "lo", "hi", bucket_width=5.0,
+                     max_span_buckets=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan, plan
+    # hatch enabled → the bucketed branch stays a hash join; exactly ONE
+    # nested-loop node exists and it is the declared broadcast escape
+    # branch for oversized intervals
+    out2 = range_join(left, right, "val", "lo", "hi", bucket_width=5.0)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("BroadcastNestedLoopJoin") == 1, plan2
+    assert "Cartesian" not in plan2, plan2
 
 
 def test_point_in_time_join_against_lake_history(spark, tmp_path):
@@ -223,3 +232,34 @@ def test_point_in_time_join_against_lake_history(spark, tmp_path):
             ("b", 30): "v3", ("b", 35): "v3",
             ("c", 21): None, ("c", 22): "v1", ("z", 40): None,
         }
+
+
+def test_range_join_oversized_interval_escape_hatch(spark):
+    """Intervals spanning more than max_span_buckets route through the
+    broadcast branch; results equal the naive filter regardless of the
+    split, and the bucketed branch never enumerates the giant span."""
+    rng = random.Random(9)
+    left_rows = [(i, round(rng.uniform(0, 1000), 2), 0) for i in range(100)]
+    right_rows = [(j, lo := round(rng.uniform(0, 990), 2),
+                   round(lo + rng.uniform(0, 8), 2), 0) for j in range(20)]
+    right_rows.append((99, 0.0, 1000.0, 0))  # corpus-wide interval
+    naive = sorted(
+        (lid, rid)
+        for (lid, v, _) in left_rows
+        for (rid, lo, hi, _) in right_rows
+        if lo <= v <= hi
+    )
+    # width 1.0 → the wide interval spans 1001 buckets; cap at 64 forces
+    # it through the escape hatch (and the tiny cap also pushes a few
+    # mid-size intervals there — equality must hold for any split)
+    for cap in (64, 4096):
+        left = spark.createDataFrame(left_rows, "lid long, val double, g long")
+        right = spark.createDataFrame(
+            right_rows, "rid long, lo double, hi double, g2 long")
+        got = sorted(
+            (r.lid, r.rid)
+            for r in range_join(left, right, "val", "lo", "hi",
+                                bucket_width=1.0,
+                                max_span_buckets=cap).collect()
+        )
+        assert got == naive
