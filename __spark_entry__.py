@@ -1283,6 +1283,31 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks up the user's NEXT purchase
+    value at or after the click — the backward machinery on negated
+    time (operators/temporal.py)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pval"))
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts",
+        {"pval": "next_purchase_value"},
+        direction="forward", chunk_seconds=7 * 86400.0,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "next_purchase_value",
+    )
+
+
 def q_range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: lineitems whose extended price falls within ±5 of an
     order's total price, counted per order — bucket-blocked so Catalyst
@@ -1411,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins (operators/temporal.py) — as-of exercises the
         # segmented hot-key-safe plan, range the bucket-blocked hash join
         "asof_join_events": q_asof_join_events,
+        "asof_forward_events": q_asof_forward_events,
         "range_join_prices": q_range_join_prices,
     }
 
@@ -2685,6 +2711,22 @@ def oracle_sql() -> dict[str, str]:
                    r.pval AS last_purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # forward as-of: DuckDB ASOF only does backward, so the oracle
+        # is a correlated scalar subquery (DuckDB decorrelates it) —
+        # again an independent implementation of the semantics
+        "asof_forward_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, arg_max(value, event_id) AS pval
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts)
+            SELECT l.event_id AS event_id, l.user_id AS user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   (SELECT r.pval FROM r
+                    WHERE r.user_id = l.user_id AND r.ts >= l.ts
+                    ORDER BY r.ts LIMIT 1) AS next_purchase_value
+            FROM l
         """,
         "range_join_prices": """
             SELECT o.o_orderkey AS o_orderkey,

@@ -55,22 +55,26 @@ def asof_join(
     right_ts: str,
     value_cols: dict[str, str],
     *,
+    direction: str = "backward",
     tolerance_s: float | None = None,
     chunk_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Inclusive as-of join, backward (default) or forward.
 
     For every left row, attach the right row with the greatest
-    ``right_ts`` ≤ the left row's ``left_ts`` within the same ``on``
+    ``right_ts`` ≤ the left row's ``left_ts`` (``backward``) — or the
+    smallest ``right_ts`` ≥ it (``forward``) — within the same ``on``
     key, or NULLs when no such row exists (LEFT OUTER semantics —
-    every left row survives).
+    every left row survives).  Forward is the backward machinery run on
+    NEGATED time (one extra arithmetic expression, same plan shape).
 
     - ``value_cols``: ``{right_column: output_name}`` — the right
       columns to attach and what to call them on the output.
-    - ``tolerance_s``: if set, matches older than this many seconds
-      before the left timestamp are nulled out (the row still
-      survives).  Timestamp columns must cast to double (timestamps
-      cast to epoch seconds; numerics pass through).
+    - ``tolerance_s``: if set, matches further than this many seconds
+      from the left timestamp (older for backward, later for forward)
+      are nulled out (the row still survives).  Timestamp columns must
+      cast to double (timestamps cast to epoch seconds; numerics pass
+      through).
     - ``chunk_seconds``: if set, use the segmented two-level plan (see
       module docstring) with time chunks of this width.  Output is
       row-identical to the plain path; choose a width that gives each
@@ -82,15 +86,28 @@ def asof_join(
     Right-side rows must be unique per (key, ``right_ts``) for
     deterministic output — pre-aggregate ties (``max_by``) upstream.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_cols = list(left.columns) + [value_cols[c] for c in value_cols]
     lts_type = left.schema[left_ts].dataType
+    rts_num = _as_seconds(F.col(right_ts), right.schema[right_ts].dataType)
+    if direction == "forward":
+        # run the backward plan on negated time: smallest rt ≥ t becomes
+        # largest (-rt) ≤ (-t); tolerance (l - rts on the negated axis)
+        # becomes rt - t, exactly the forward slack
+        t_left = -_as_seconds(F.col(left_ts), lts_type)
+        rts_num = -rts_num
+        t_right = rts_num
+    else:
+        t_left = F.col(left_ts)
+        t_right = F.col(right_ts)
     rstruct = F.struct(
-        _as_seconds(F.col(right_ts), right.schema[right_ts].dataType).alias("_rts"),
+        rts_num.alias("_rts"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     l2 = left.select(
         *[F.col(k) for k in on],
-        F.col(left_ts).alias("_t"),
+        t_left.alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         F.lit(None).cast(
@@ -99,7 +116,7 @@ def asof_join(
     )
     r2 = right.select(
         *[F.col(k) for k in on],
-        F.col(right_ts).alias("_t"),
+        t_right.alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(
             left.select(
@@ -109,11 +126,16 @@ def asof_join(
         rstruct.alias("_r"),
     )
     u = l2.unionByName(r2)
+    # numeric view of _t: in forward mode it is already (negated) seconds
+    t_num = (
+        F.col("_t").cast("double") if direction == "forward"
+        else _as_seconds(F.col("_t"), lts_type)
+    )
 
     def _finish(matched: Column, base: DataFrame) -> DataFrame:
         if tolerance_s is not None:
             matched = F.when(
-                _as_seconds(F.col("_t"), lts_type) - matched.getField("_rts")
+                t_num - matched.getField("_rts")
                 <= F.lit(float(tolerance_s)),
                 matched,
             )
@@ -140,9 +162,7 @@ def asof_join(
 
     # segmented (hot-key-safe) plan: window within (key, chunk), then a
     # per-chunk carry-in computed on a ≤|keys|·|chunks| summary relation
-    chunk = F.floor(
-        _as_seconds(F.col("_t"), lts_type) / F.lit(float(chunk_seconds))
-    )
+    chunk = F.floor(t_num / F.lit(float(chunk_seconds)))
     uc = u.withColumn("_c", chunk)
     win = (
         Window.partitionBy(*on, "_c")

@@ -263,3 +263,43 @@ def test_range_join_oversized_interval_escape_hatch(spark):
                                 max_span_buckets=cap).collect()
         )
         assert got == naive
+
+
+def _brute_asof_fwd(left_rows, right_rows, tolerance_s=None):
+    out = []
+    for (k, t, i) in left_rows:
+        best = None
+        for (rk, rt, v) in right_rows:
+            if rk == k and rt >= t and (best is None or rt < best[0]):
+                best = (rt, v)
+        val = None
+        if best is not None and (tolerance_s is None or best[0] - t <= tolerance_s):
+            val = best[1]
+        out.append((i, k, t, val))
+    return sorted(out)
+
+
+def test_asof_forward_matches_brute_force(spark):
+    rng = random.Random(13)
+    left_rows = [(rng.randrange(4), float(rng.randrange(80)), i)
+                 for i in range(100)]
+    right_keys = {(rng.randrange(4), float(rng.randrange(80)))
+                  for _ in range(60)}
+    right_rows = [(k, t, round(rng.uniform(0, 10), 3))
+                  for (k, t) in sorted(right_keys)]
+    for kw in ({}, {"chunk_seconds": 13.0}, {"tolerance_s": 7.0},
+               {"chunk_seconds": 13.0, "tolerance_s": 7.0}):
+        got = _run_asof(spark, left_rows, right_rows,
+                        direction="forward", **kw)
+        assert got == _brute_asof_fwd(
+            left_rows, right_rows, tolerance_s=kw.get("tolerance_s"))
+
+
+def test_asof_forward_tie_is_inclusive(spark):
+    got = _run_asof(
+        spark,
+        [(1, 10.0, 1), (1, 11.0, 2)],
+        [(1, 10.0, 42.0)],
+        direction="forward",
+    )
+    assert got == [(1, 1, 10.0, 42.0), (2, 1, 11.0, None)]
