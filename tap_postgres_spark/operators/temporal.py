@@ -59,14 +59,22 @@ def asof_join(
     tolerance_s: float | None = None,
     chunk_seconds: float | None = None,
 ) -> DataFrame:
-    """Inclusive as-of join, backward (default) or forward.
+    """Inclusive as-of join, backward (default), forward, or nearest —
+    the full pandas ``merge_asof`` direction surface.
 
     For every left row, attach the right row with the greatest
-    ``right_ts`` ≤ the left row's ``left_ts`` (``backward``) — or the
-    smallest ``right_ts`` ≥ it (``forward``) — within the same ``on``
-    key, or NULLs when no such row exists (LEFT OUTER semantics —
-    every left row survives).  Forward is the backward machinery run on
-    NEGATED time (one extra arithmetic expression, same plan shape).
+    ``right_ts`` ≤ the left row's ``left_ts`` (``backward``), the
+    smallest ``right_ts`` ≥ it (``forward``), or whichever of the two is
+    closer in time (``nearest``; exact tie → backward, pandas'
+    tie-break) — within the same ``on`` key, or NULLs when no such row
+    exists (LEFT OUTER semantics — every left row survives).  Forward is
+    the backward machinery run on NEGATED time (one extra arithmetic
+    expression, same plan shape); nearest computes both picks with TWO
+    windows over the ONE shuffled relation (same partitioning, a second
+    sort order — no extra shuffle) and chooses per row.  With
+    ``tolerance_s``, nearest follows pandas: each side's candidate is
+    dropped when beyond tolerance BEFORE choosing, so an out-of-range
+    nearest side falls back to the other.
 
     - ``value_cols``: ``{right_column: output_name}`` — the right
       columns to attach and what to call them on the output.
@@ -86,8 +94,10 @@ def asof_join(
     Right-side rows must be unique per (key, ``right_ts``) for
     deterministic output — pre-aggregate ties (``max_by``) upstream.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     out_cols = list(left.columns) + [value_cols[c] for c in value_cols]
     lts_type = left.schema[left_ts].dataType
     rts_num = _as_seconds(F.col(right_ts), right.schema[right_ts].dataType)
@@ -132,13 +142,29 @@ def asof_join(
         else _as_seconds(F.col("_t"), lts_type)
     )
 
-    def _finish(matched: Column, base: DataFrame) -> DataFrame:
-        if tolerance_s is not None:
-            matched = F.when(
-                t_num - matched.getField("_rts")
-                <= F.lit(float(tolerance_s)),
-                matched,
-            )
+    def _within_tol(matched: Column, dist: Column) -> Column:
+        if tolerance_s is None:
+            return matched
+        return F.when(dist <= F.lit(float(tolerance_s)), matched)
+
+    def _choose(mb: Column, mf: Column) -> Column:
+        # pandas nearest: drop each side beyond tolerance FIRST, then
+        # take the closer survivor; exact tie → backward
+        db = t_num - mb.getField("_rts")
+        df_ = mf.getField("_rts") - t_num
+        mb = _within_tol(mb, db)
+        mf = _within_tol(mf, df_)
+        return (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)
+            .otherwise(mf)
+        )
+
+    def _finish(matched: Column, base: DataFrame,
+                tolerance_done: bool = False) -> DataFrame:
+        if not tolerance_done:
+            matched = _within_tol(matched, t_num - matched.getField("_rts"))
         picked = base.where(F.col("_side") == 1).select(
             F.col("_lrow").alias("_lrow"),
             matched.alias("_m"),
@@ -151,41 +177,79 @@ def asof_join(
             ],
         ).select(*out_cols)
 
-    if chunk_seconds is None:
-        w = (
-            Window.partitionBy(*on)
+    # window orders: backward pick scans [start, current] with right rows
+    # sorting BEFORE a tied left row (side asc → ties inclusive); the
+    # forward pick scans [current, end] with right rows sorting AFTER a
+    # tied left row (side desc → the tied right lands inside the frame).
+    # Same partitioning → nearest's second window re-sorts but does NOT
+    # re-shuffle.
+    def _back_win(*parts):
+        return (
+            Window.partitionBy(*parts)
             .orderBy(F.col("_t").asc(), F.col("_side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        within = u.withColumn("_m0", F.last("_r", ignorenulls=True).over(w))
-        return _finish(F.col("_m0"), within)
+
+    def _fwd_win(*parts):
+        return (
+            Window.partitionBy(*parts)
+            .orderBy(F.col("_t").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+    if chunk_seconds is None:
+        within = u.withColumn(
+            "_m0", F.last("_r", ignorenulls=True).over(_back_win(*on))
+        )
+        if direction != "nearest":
+            return _finish(F.col("_m0"), within)
+        within = within.withColumn(
+            "_m1", F.first("_r", ignorenulls=True).over(_fwd_win(*on))
+        )
+        return _finish(_choose(F.col("_m0"), F.col("_m1")), within,
+                       tolerance_done=True)
 
     # segmented (hot-key-safe) plan: window within (key, chunk), then a
     # per-chunk carry-in computed on a ≤|keys|·|chunks| summary relation
     chunk = F.floor(t_num / F.lit(float(chunk_seconds)))
     uc = u.withColumn("_c", chunk)
-    win = (
-        Window.partitionBy(*on, "_c")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = uc.withColumn(
+        "_m0", F.last("_r", ignorenulls=True).over(_back_win(*on, "_c"))
     )
-    within = uc.withColumn("_m0", F.last("_r", ignorenulls=True).over(win))
     # latest right row per (key, chunk): struct max orders by _rts first.
     # Grouped over the WHOLE union, not just right rows — a chunk with
     # only left rows still needs a summary row so the carry-in window
     # below can hand it the latest right row from earlier chunks
-    # (_last is simply NULL there, and max() skips nulls).
-    summaries = uc.groupBy(*on, "_c").agg(F.max("_r").alias("_last"))
+    # (_last is simply NULL there, and max() skips nulls).  For nearest
+    # the symmetric _first/min pair carries the NEXT chunks' earliest
+    # right row backward.
+    aggs = [F.max("_r").alias("_last")]
+    if direction == "nearest":
+        aggs.append(F.min("_r").alias("_first"))
+    summaries = uc.groupBy(*on, "_c").agg(*aggs)
     wprev = (
         Window.partitionBy(*on)
         .orderBy(F.col("_c").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carries = summaries.select(
-        *on, "_c", F.max("_last").over(wprev).alias("_carry")
-    )
+    carry_cols = [F.max("_last").over(wprev).alias("_carry")]
+    if direction == "nearest":
+        wnext = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_c").asc())
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_cols.append(F.min("_first").over(wnext).alias("_carry_next"))
+    carries = summaries.select(*on, "_c", *carry_cols)
     joined = within.join(carries, [*on, "_c"], "left")
-    return _finish(F.coalesce(F.col("_m0"), F.col("_carry")), joined)
+    back = F.coalesce(F.col("_m0"), F.col("_carry"))
+    if direction != "nearest":
+        return _finish(back, joined)
+    joined = joined.withColumn(
+        "_m1", F.first("_r", ignorenulls=True).over(_fwd_win(*on, "_c"))
+    )
+    fwd = F.coalesce(F.col("_m1"), F.col("_carry_next"))
+    return _finish(_choose(back, fwd), joined, tolerance_done=True)
 
 
 def point_in_time_join(

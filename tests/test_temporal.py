@@ -303,3 +303,71 @@ def test_asof_forward_tie_is_inclusive(spark):
         direction="forward",
     )
     assert got == [(1, 1, 10.0, 42.0), (2, 1, 11.0, None)]
+
+
+def _brute_asof_nearest(left_rows, right_rows, tolerance_s=None):
+    out = []
+    for (k, t, i) in left_rows:
+        back = fwd = None
+        for (rk, rt, v) in right_rows:
+            if rk != k:
+                continue
+            if rt <= t and (back is None or rt > back[0]):
+                back = (rt, v)
+            if rt >= t and (fwd is None or rt < fwd[0]):
+                fwd = (rt, v)
+        if tolerance_s is not None:  # pandas: filter each side first
+            if back is not None and t - back[0] > tolerance_s:
+                back = None
+            if fwd is not None and fwd[0] - t > tolerance_s:
+                fwd = None
+        if back is None:
+            pick = fwd
+        elif fwd is None:
+            pick = back
+        else:  # tie -> backward
+            pick = back if (t - back[0]) <= (fwd[0] - t) else fwd
+        out.append((i, k, t, pick[1] if pick else None))
+    return sorted(out)
+
+
+def test_asof_nearest_matches_brute_force(spark):
+    rng = random.Random(17)
+    left_rows = [(rng.randrange(4), float(rng.randrange(60)), i)
+                 for i in range(90)]
+    right_keys = {(rng.randrange(4), float(rng.randrange(60)))
+                  for _ in range(50)}
+    right_rows = [(k, t, round(rng.uniform(0, 10), 3))
+                  for (k, t) in sorted(right_keys)]
+    for kw in ({}, {"chunk_seconds": 11.0}, {"tolerance_s": 6.0},
+               {"chunk_seconds": 11.0, "tolerance_s": 6.0}):
+        got = _run_asof(spark, left_rows, right_rows,
+                        direction="nearest", **kw)
+        assert got == _brute_asof_nearest(
+            left_rows, right_rows, tolerance_s=kw.get("tolerance_s")), kw
+
+
+def test_asof_nearest_tie_prefers_backward_and_tolerance_falls_back(spark):
+    # equidistant: 8 and 12 around t=10 -> backward (8) wins
+    got = _run_asof(spark, [(1, 10.0, 1)],
+                    [(1, 8.0, 1.0), (1, 12.0, 2.0)], direction="nearest")
+    assert got == [(1, 1, 10.0, 1.0)]
+    # tolerance filters each side BEFORE choosing (pandas semantics):
+    # far side (14, dist 4 > 3) dropped, near side (9, dist 1) survives
+    got = _run_asof(spark, [(1, 10.0, 1)],
+                    [(1, 9.0, 1.0), (1, 14.0, 2.0)],
+                    direction="nearest", tolerance_s=3.0)
+    assert got == [(1, 1, 10.0, 1.0)]
+    # both sides beyond tolerance (dists 5 and 4 > 3) -> null
+    got = _run_asof(spark, [(1, 10.0, 1)],
+                    [(1, 5.0, 1.0), (1, 14.0, 2.0)],
+                    direction="nearest", tolerance_s=3.0)
+    assert got == [(1, 1, 10.0, None)]
+    # backward in tolerance, forward out -> backward even if forward is
+    # nearer: forward (11, dist 1) dropped by tolerance 0 applied... use
+    # asymmetric case: backward dist 2 <= 2, forward dist 1 but we drop
+    # nothing at tolerance 2 -> forward wins by distance
+    got = _run_asof(spark, [(1, 10.0, 1)],
+                    [(1, 8.0, 1.0), (1, 11.0, 2.0)],
+                    direction="nearest", tolerance_s=2.0)
+    assert got == [(1, 1, 10.0, 2.0)]
