@@ -371,3 +371,21 @@ def test_asof_nearest_tie_prefers_backward_and_tolerance_falls_back(spark):
                     [(1, 8.0, 1.0), (1, 11.0, 2.0)],
                     direction="nearest", tolerance_s=2.0)
     assert got == [(1, 1, 10.0, 2.0)]
+
+
+def test_asof_nearest_plan_one_shuffle_two_sorts(spark):
+    """The nearest plan's claim: both window picks ride ONE key shuffle;
+    the second window only re-sorts (different order, same
+    partitioning)."""
+    left = spark.range(100).select(
+        F.col("id").alias("i"), (F.col("id") % 5).alias("k"),
+        (F.col("id") % 37).cast("double").alias("t"))
+    right = spark.range(40).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 41).cast("double").alias("t"),
+        F.col("id").cast("double").alias("v"))
+    out = asof_join(left, right, ["k"], "t", "t", {"v": "nv"},
+                    direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(k") == 1, plan
+    assert plan.count("Window") == 2, plan
