@@ -420,6 +420,45 @@ class LakeTable:
             raise ValueError(f"no version committed at or before {ts.isoformat()}")
         return best
 
+    def version_for_lsn(self, lsn: int) -> int:
+        """Largest version whose cumulative applied-WAL watermark is at
+        or below ``lsn`` — time travel by WAL position instead of by
+        commit timestamp (`SELECT ... AS OF LSN`, the CDC-native axis).
+
+        The cumulative watermark is the running max over each commit's
+        ``summary.bucket_watermarks`` (merge commits record the parquet
+        footer max ``_sdc_lsn`` per written bucket; compaction rewrites
+        carry forward — a full compaction may drop the historical-max
+        tombstone, so its own footers can read LOW and must not regress
+        the running max).  With batches applied in LSN order (a normal
+        run) the returned version is exactly "state after every event
+        with lsn <= L"; combined with transaction-boundary atomic apply
+        (modes/txn.py) it is a transaction-consistent snapshot.  Walks
+        only manifests that still exist; raises when ``lsn`` precedes
+        the retained window."""
+        lsn = int(lsn)
+        mdir = os.path.join(self.path, "metadata")
+        existing = sorted(
+            int(f[1:9]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        best = None
+        running: int | None = None
+        for v in existing:
+            wms = (self.metadata(v).get("summary") or {}).get(
+                "bucket_watermarks"
+            ) or {}
+            if wms:
+                commit_wm = max(int(w) for w in wms.values())
+                running = commit_wm if running is None else max(running, commit_wm)
+            if running is None or running <= lsn:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"lsn {lsn} precedes the oldest retained version's watermark"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
@@ -427,6 +466,7 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         include_tombstones: bool = False,
         as_of: datetime | str | None = None,
+        as_of_lsn: int | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -434,13 +474,16 @@ class LakeTable:
         files, then tombstones dropped.  With ``buckets`` given, only
         those buckets' files are scanned (bucket pruning — pair with
         :meth:`buckets_for_keys` for key-predicate point reads).
-        Time travel: by ``version`` number, or by commit timestamp with
-        ``as_of`` (resolved via :meth:`version_as_of`).
+        Time travel: by ``version`` number, by commit timestamp with
+        ``as_of`` (:meth:`version_as_of`), or by WAL position with
+        ``as_of_lsn`` (:meth:`version_for_lsn`).
         """
+        if sum(x is not None for x in (version, as_of, as_of_lsn)) > 1:
+            raise ValueError("pass at most one of version / as_of / as_of_lsn")
         if as_of is not None:
-            if version is not None:
-                raise ValueError("pass version or as_of, not both")
             version = self.version_as_of(as_of)
+        if as_of_lsn is not None:
+            version = self.version_for_lsn(as_of_lsn)
         meta = self.metadata(version)
         schema = T.StructType.fromJson(meta["schema"])
         bmap = self.buckets_map(meta["version"])

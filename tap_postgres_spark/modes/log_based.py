@@ -72,6 +72,7 @@ _QUARANTINE_STATUSES = (
 from ..lake import LakeTable
 from ..schema import StreamDef, pg_type_to_spark
 from ..state import StateStore
+from .txn import TxnBoundaryBuffer
 from pyspark.sql import types as T
 
 
@@ -100,6 +101,7 @@ class CdcPipeline:
         dead_letter_dir: str | None = None,
         retention_keep_last: int | None = None,
         concurrent_merges: int = 1,
+        txn_boundary_dir: str | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -135,6 +137,15 @@ class CdcPipeline:
         # >50% idle on 32 cores (measured) — each stream's fold/write is
         # too narrow alone.
         self.concurrent_merges = max(1, int(concurrent_merges))
+        # transaction-boundary atomicity: when set, apply_batch defers
+        # data rows of transactions whose commit marker hasn't arrived
+        # yet, so a committed batch never exposes half a transaction
+        # (see modes/txn.py for the full contract)
+        self.txn_buffer = (
+            TxnBoundaryBuffer(spark, txn_boundary_dir)
+            if txn_boundary_dir is not None
+            else None
+        )
         self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
@@ -205,7 +216,60 @@ class CdcPipeline:
         batch_time: datetime | None = None,
     ) -> dict[str, Any]:
         """Apply one micro-batch of raw WAL payloads.  Idempotent per
-        ``epoch_id`` (commit-epoch dedup in each LakeTable)."""
+        ``epoch_id`` (commit-epoch dedup in each LakeTable).  With
+        ``txn_boundary_dir`` set, the batch is first split at
+        transaction boundaries (modes/txn.py): rows of transactions
+        whose ``C`` marker hasn't arrived defer to the next batch."""
+        if self.txn_buffer is not None:
+            return self._apply_batch_txn(raw, epoch_id, batch_time)
+        return self._apply_batch_core(raw, epoch_id, batch_time)
+
+    def _apply_batch_txn(
+        self,
+        raw: DataFrame,
+        epoch_id: str,
+        batch_time: datetime | None,
+    ) -> dict[str, Any]:
+        buf = self.txn_buffer
+        in_dir = buf.input_dir(epoch_id)
+        full = raw.select("lsn", "txid", "payload")
+        if in_dir is not None:
+            full = full.unionByName(self.spark.read.parquet(in_dir))
+        # one extra parse pass over the batch (the split needs actions
+        # before the core's own parse); persisted so the ready/deferred
+        # split, the spill write and the stats agg share it
+        parsed = parse_raw_payloads(full).persist()
+        try:
+            ready, deferred = buf.split(parsed)
+            stats = deferred.agg(
+                F.count("*").alias("n"), F.min("lsn").alias("lo")
+            ).first()
+            n_def, min_lsn = int(stats["n"]), stats["lo"]
+            out_dir = None
+            if n_def:
+                out_dir = buf.stage_dir(epoch_id)
+                deferred.write.mode("overwrite").parquet(out_dir)
+            result = self._apply_batch_core(ready, epoch_id, batch_time)
+        finally:
+            parsed.unpersist()
+        # pointer commits AFTER the merge: a crash anywhere in between
+        # replays this epoch against the SAME input dir (input_dir()
+        # returns ptr["in"] for the pointer's own epoch), recomputing an
+        # identical split over an identical union
+        buf.commit(epoch_id, in_dir, out_dir, n_def, min_lsn)
+        result["txn"] = {
+            "deferred": n_def,
+            "pending_dir": out_dir,
+            "pending_min_lsn": None if min_lsn is None else int(min_lsn),
+        }
+        return result
+
+    def _apply_batch_core(
+        self,
+        raw: DataFrame,
+        epoch_id: str,
+        batch_time: datetime | None = None,
+    ) -> dict[str, Any]:
         batch_time = batch_time or datetime.now(timezone.utc)
         fqns = list(self.streams.keys())
         classified = classify(parse_raw_payloads(raw), fqns)
@@ -460,17 +524,32 @@ class CdcPipeline:
         rows merge with full LWW semantics — a quarantined-then-fixed
         event older than what the table already holds loses the fold
         exactly like any late replay, and the epoch guard makes the
-        whole replay idempotent."""
+        whole replay idempotent.
+
+        Bypasses the txn-boundary split deliberately: a quarantined
+        row's commit marker flowed past when the row was first seen, so
+        the replay treats fixed rows as standalone (their transaction
+        already committed upstream)."""
         raw = self.spark.read.parquet(path).select("lsn", "txid", "payload")
-        return self.apply_batch(raw, epoch_id=epoch_id)
+        return self._apply_batch_core(raw, epoch_id=epoch_id)
 
     def advance_to_tip(self, tip_lsn: int) -> None:
         """Idle-exit semantics (reference wal_reader.py:167-176 + tests
         :408-427): when fully caught up, advance ALL bookmarks to the
         server WAL tip — even past events filtered for other tables — so
-        retained WAL (here: already-consumed feed files) is released."""
+        retained WAL (here: already-consumed feed files) is released.
+
+        With a txn buffer, the advance is capped one LSN below the
+        oldest pending (uncommitted-transaction) row — idle-exit must
+        not release WAL whose rows are still waiting for their commit
+        marker."""
+        tip = int(tip_lsn)
+        if self.txn_buffer is not None:
+            floor = self.txn_buffer.pending_floor()
+            if floor is not None:
+                tip = min(tip, floor)
         for fqn in self.streams:
-            self.state.advance(fqn, "_sdc_lsn", int(tip_lsn))
+            self.state.advance(fqn, "_sdc_lsn", tip)
         self.state.flush()
 
     def _write_metrics(

@@ -1,0 +1,164 @@
+"""Transaction-boundary atomic apply: micro-batches never expose a
+partially-applied transaction.
+
+wal2json emits each transaction as ``B`` … data rows … ``C`` (the plugin
+only streams *committed* transactions, in commit order).  The reference
+processes messages one at a time and drops the B/C markers
+(/root/reference/tap_postgres/client.py:578-586), so its unit of
+atomicity is a single message — a reader of the target can observe half
+a transaction between two RECORDs.  A micro-batch engine can do better:
+a batch cut that lands *inside* a transaction (a feed file ends between
+``B`` and ``C``) simply defers that transaction's rows to the next
+batch, so every committed batch moves the lake table from one
+transaction-consistent snapshot to another.
+
+Mechanism (all DataFrame-side; driver state is a tiny JSON pointer):
+
+1. union the incoming raw batch with the carried-over pending rows;
+2. the txids with a ``C`` marker in the unioned batch are *committed* —
+   one ``distinct`` on the marker rows, joined back on ``txid`` (AQE
+   broadcasts it when small; at worst the shuffle is bounded by
+   |batch|, and per-txid skew is bounded by the transaction size);
+3. data rows of uncommitted txids spill to ``epoch=<id>`` parquet and
+   re-enter at the next batch; everything else applies normally.
+
+Crash safety mirrors the lake's commit-epoch dedup: the pointer records
+``(epoch, in, out)``; a replay of the same epoch re-reads the SAME
+``in`` directory, recomputes the identical split (overwrite-idempotent
+spill), and the inner ``apply_batch`` no-ops on the already-committed
+merge.  ``advance_to_tip`` is capped below the oldest pending LSN so an
+idle-exit can never release WAL the buffer still needs.
+
+Assumption (guaranteed by logical decoding): within the feed order, a
+transaction's data rows precede its ``C`` marker.  Markers are never
+buffered — only data rows wait for their commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..decode import DATA_ACTIONS
+
+_POINTER = "POINTER.json"
+
+
+def _safe(epoch_id: str) -> str:
+    tag = hashlib.md5(epoch_id.encode()).hexdigest()[:8]
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", epoch_id) + "-" + tag
+
+
+class TxnBoundaryBuffer:
+    """Carries uncommitted-transaction rows between micro-batches.
+
+    State on disk: ``<dir>/POINTER.json`` (atomic os.replace) plus one
+    ``epoch=<safe>`` parquet dir per live epoch (the pointer's ``in``
+    and ``out``; older dirs are GC'd on commit).  The pointer is
+    O(1) driver metadata, the spill is O(open-transaction rows) — at a
+    sane batch cadence that is a handful of transactions, not a table.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer ------------------------------------------------------
+    def pointer(self) -> dict[str, Any] | None:
+        p = os.path.join(self.path, _POINTER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def input_dir(self, epoch_id: str) -> str | None:
+        """Pending dir to union into this epoch's batch.  A replay of
+        the pointer's own epoch re-reads that epoch's recorded INPUT so
+        the split recomputes byte-identically."""
+        ptr = self.pointer()
+        if ptr is None:
+            return None
+        if ptr["epoch"] == epoch_id:
+            return ptr["in"]
+        return ptr["out"]
+
+    def stage_dir(self, epoch_id: str) -> str:
+        return os.path.join(self.path, f"epoch={_safe(epoch_id)}")
+
+    def pending_floor(self) -> int | None:
+        """Highest LSN that is safe to release: one below the oldest
+        pending row, or None when nothing is pending."""
+        ptr = self.pointer()
+        if not ptr or not ptr.get("rows") or ptr.get("min_lsn") is None:
+            return None
+        return int(ptr["min_lsn"]) - 1
+
+    def commit(
+        self,
+        epoch_id: str,
+        in_dir: str | None,
+        out_dir: str | None,
+        rows: int,
+        min_lsn: int | None,
+    ) -> None:
+        doc = {
+            "epoch": epoch_id,
+            "in": in_dir,
+            "out": out_dir,
+            "rows": int(rows),
+            "min_lsn": None if min_lsn is None else int(min_lsn),
+        }
+        tmp = os.path.join(self.path, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, os.path.join(self.path, _POINTER))
+        # GC: every epoch dir not referenced by the live pointer
+        keep = {d for d in (in_dir, out_dir) if d}
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.startswith("epoch=") and full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+
+    # -- the split ----------------------------------------------------
+    def split(self, parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(parsed batch with ``_env``) → (ready raw, deferred raw).
+
+        Deferred = data rows (I/U/D) whose txid has no ``C`` marker in
+        the batch.  NULL-txid rows are standalone (auto-committed);
+        markers and protocol rows always pass through (they are counted,
+        never applied).  Both outputs are raw (lsn, txid, payload) —
+        the normal pipeline re-parses ready rows, the spill re-enters
+        as raw next batch.
+        """
+        committed = (
+            parsed.filter(
+                (F.col("_env.action") == "C") & F.col("txid").isNotNull()
+            )
+            .select("txid")
+            .distinct()
+            .withColumn("__committed", F.lit(True))
+        )
+        flagged = parsed.join(committed, on="txid", how="left")
+        # coalesce: a malformed row's action is NULL, making the raw
+        # predicate NULL — which three-valued filters would drop from
+        # BOTH branches; malformed rows must pass through (the core
+        # pipeline counts + quarantines them)
+        defer = F.coalesce(
+            F.col("_env.action").isin(*DATA_ACTIONS)
+            & F.col("txid").isNotNull()
+            & F.col("__committed").isNull(),
+            F.lit(False),
+        )
+        raw_cols = ["lsn", "txid", "payload"]
+        return (
+            flagged.filter(~defer).select(*raw_cols),
+            flagged.filter(defer).select(*raw_cols),
+        )
