@@ -614,6 +614,16 @@ def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_doc_id", F.col("doc_id").alias("corpus_doc_id"))
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix (round 4): distinct token-
+    3-gram digests shared by each source pair — the provenance audit
+    run before mixing corpora.  One gram-digest groupBy (collect_set
+    bounded by |sources|), pair expansion as an array expression, NO
+    digest self-join; the oracle deliberately uses the self-join shape
+    as an independent implementation."""
+    return pipelineops.source_overlap(_docs(spark, sf_dir), k=3)
+
+
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup materializer: documents surviving MinHash-LSH dedup
     (pair losers dropped; oversized-bucket members deduped by the
@@ -1376,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 — inside the 50-row window for first certification
         "semantic_dedup_deep": q_semantic_dedup_deep,
         "minhash_index_probe": q_minhash_index_probe,
+        "source_overlap": q_source_overlap,
         # --- certified in CORRECTNESS_r03, re-certifying this round ---
         "full_table_scan": q_full_table_scan,
         "incremental_scan": q_incremental_scan,
@@ -2282,6 +2293,24 @@ def oracle_sql() -> dict[str, str]:
             FROM probe p
             JOIN corpus c ON p.band = c.band AND p.key = c.key
             JOIN ok ON ok.band = c.band AND ok.key = c.key
+        """,
+        "source_overlap": f"""
+            WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+            sh0 AS (
+              SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3
+              UNION ALL
+              SELECT source, array_to_string(t, ' ') AS sh
+              FROM toks WHERE len(t) < 3
+            ),
+            g AS (SELECT DISTINCT source, {_H60.format(expr='sh')} AS h
+                  FROM sh0)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS shared_grams
+            FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "minhash_lsh_oversized": f"""
             WITH sig AS ({_minhash_sig_sql()}),

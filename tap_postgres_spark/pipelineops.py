@@ -311,6 +311,63 @@ def chunk_documents(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every source pair, how
+    many distinct token-``k``-gram digests appear in BOTH — the
+    contamination/provenance audit a corpus curator runs before mixing
+    sources (is Common-Crawl-2023 largely a re-crawl of 2022?  is this
+    'books' source actually web text?).
+
+    Output: (source_a, source_b, shared_grams), a < b, one row per pair
+    with at least one shared gram.
+
+    Scale shape: the gram explode is O(corpus tokens) — the same cost
+    :func:`decontaminate` already pays; then ONE shuffle, a groupBy on
+    the 60-bit gram digest whose partially-aggregated
+    ``collect_set(source)`` is bounded by |sources| (corpora have tens
+    of sources, not millions).  Pair expansion is a pure array
+    expression over each gram's source set (NO digest self-join — a
+    gram appearing 10^6 times inside one source contributes a
+    1-element set, where the naive self-join would explode 10^12
+    comparisons).  The final pair aggregation is |sources|²-bounded.
+    The DuckDB oracle deliberately uses the self-join shape — an
+    independent implementation, not an echo.
+    """
+    from .functions import md5_60bit
+    from .textops import shingles
+
+    per_gram = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles(F.col(text_col), k=k)).alias("gram"),
+        )
+        .select("src", md5_60bit(F.col("gram")).alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Anti-join dedup against an existing corpus
 # ---------------------------------------------------------------------------

@@ -604,3 +604,56 @@ def test_build_training_mix_downsamples_toward_targets(spark):
     # groups absent from targets are dropped entirely
     kept2 = pipelineops.build_training_mix(docs, {"b": 1.0}).collect()
     assert all(r["lang"] == "b" for r in kept2) and len(kept2) == 100
+
+
+class TestSourceOverlap:
+    def test_pairwise_shared_gram_counts(self, spark):
+        # src A and B share exactly the gram "x y z"; C shares nothing
+        docs = spark.createDataFrame(
+            [
+                (1, "A", "x y z q"),        # grams: xyz, yzq
+                (2, "B", "p x y z"),        # grams: pxy, xyz
+                (3, "B", "x y z"),          # gram: xyz (dup inside B — counts once)
+                (4, "C", "totally different words"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            (r.source_a, r.source_b): r.shared_grams
+            for r in pipelineops.source_overlap(docs, k=3).collect()
+        }
+        assert out == {("A", "B"): 1}
+
+    def test_short_doc_whole_text_gram(self, spark):
+        # < k tokens → whole text is the gram (decontaminate fallback)
+        docs = spark.createDataFrame(
+            [(1, "A", "hi there"), (2, "B", "hi there"), (3, "C", "nope")],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            (r.source_a, r.source_b): r.shared_grams
+            for r in pipelineops.source_overlap(docs, k=3).collect()
+        }
+        assert out == {("A", "B"): 1}
+
+    def test_three_way_overlap_expands_all_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "A", "x y z"), (2, "B", "x y z"), (3, "C", "x y z w")],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            (r.source_a, r.source_b): r.shared_grams
+            for r in pipelineops.source_overlap(docs, k=3).collect()
+        }
+        assert out == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
+
+    def test_plan_has_no_join(self, spark):
+        """The overlap matrix is join-free (set expansion, not digest
+        self-join) — one exchange on the gram digest, one on the pair."""
+        docs = spark.createDataFrame(
+            [(1, "A", "x y z"), (2, "B", "x y z")],
+            "doc_id long, source string, text string",
+        )
+        plan = pipelineops.source_overlap(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan

@@ -212,6 +212,47 @@ def test_pending_survives_multiple_batches_and_gc(spark, tmp_path):
     assert _live_keys(table) == {("r1", "b.py"), ("r2", "c.py"), ("r3", "d.py")}
 
 
+def _write_feed_files(feed_dir, chunks):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(feed_dir, exist_ok=True)
+    for i, chunk in enumerate(chunks):
+        tbl = pa.table(
+            {
+                "lsn": pa.array([e[0] for e in chunk], pa.int64()),
+                "txid": pa.array([e[1] for e in chunk], pa.int64()),
+                "payload": pa.array([e[2] for e in chunk], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(feed_dir, f"feed-{i:05d}.parquet"))
+
+
+def test_streaming_runner_with_txn_buffer(spark, tmp_path):
+    """End-to-end through StreamingCdcRunner: a feed file that ends
+    mid-transaction defers cleanly across micro-batches, and a crash +
+    checkpoint resume converges to the same transaction-consistent
+    state."""
+    from tap_postgres_spark.streaming import StreamingCdcRunner
+
+    pipe, table = _mk_pipeline(spark, tmp_path)
+    feed_dir = str(tmp_path / "feed")
+    # file 0 cuts txn 9 after one data row; file 1 completes it
+    _write_feed_files(feed_dir, [TXN7 + TXN9[:2], TXN9[2:]])
+
+    runner = StreamingCdcRunner(
+        pipe, feed_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    # crash after batch 0 (txn 9 pending in the buffer)
+    runner.run_available_now(fail_after_batches=1)
+    assert runner.batch_results[0]["txn"]["deferred"] == 1
+    assert _live_keys(table) == {("r1", "a.py"), ("r1", "b.py"), ("r2", "c.py")}
+    # resume from the checkpoint: batch 1 delivers the commit marker
+    runner.run_available_now()
+    assert runner.batch_results[-1]["txn"]["deferred"] == 0
+    assert _live_keys(table) == {("r1", "b.py"), ("r2", "c.py"), ("r3", "d.py")}
+
+
 def test_dead_letter_replay_bypasses_split(spark, tmp_path):
     """Quarantined rows replay as standalone — their txn committed when
     first seen, so replay must not wait for a marker that won't come."""
