@@ -294,6 +294,70 @@ def generate_feed(cfg: FeedConfig | None = None) -> Feed:
     return Feed(snapshot=snapshot, events=events, config=cfg, expected_counts=counts)
 
 
+def wrap_transactions(feed: Feed) -> Feed:
+    """Rewrite a feed into the wal2json commit-order contract: every
+    txid forms one contiguous ``B`` … rows … ``C`` transaction — the
+    shape the transaction-boundary atomic apply (modes/txn.py) expects.
+
+    Each maximal run of consecutive same-txid events becomes one
+    transaction with a fresh txid; pre-existing stray B/C markers get
+    their own (empty) txids so they can never commit someone else's
+    rows.  LSNs are renumbered monotonically in event order, so the
+    row-at-a-time oracle (:func:`oracle_apply`) and all LWW semantics
+    are preserved.  ``expected_counts['txn_marker']`` is updated to the
+    new marker population."""
+    new_events: list[dict[str, Any]] = []
+    counts = dict(feed.expected_counts)
+    lsn = feed.config.base_lsn
+    txid = 700
+    n_markers = 0
+
+    def _nxt() -> int:
+        nonlocal lsn
+        lsn += 3
+        return lsn
+
+    def _emit(payload: Any, tx: int, kind: str) -> None:
+        new_events.append(
+            {
+                "lsn": _nxt(),
+                "txid": tx,
+                "payload": payload if isinstance(payload, str) else json.dumps(payload),
+                "_kind": kind,
+            }
+        )
+
+    runs: list[list[dict[str, Any]]] = []
+    for e in feed.events:
+        if e["_kind"] == "txn_marker":
+            runs.append([e])  # stray marker → its own txid
+        elif runs and runs[-1][0]["_kind"] != "txn_marker" and runs[-1][0][
+            "txid"
+        ] == e["txid"]:
+            runs[-1].append(e)
+        else:
+            runs.append([e])
+
+    for run in runs:
+        txid += 1
+        if run[0]["_kind"] == "txn_marker":
+            _emit(json.loads(run[0]["payload"]), txid, "txn_marker")
+            n_markers += 1
+            continue
+        _emit({"action": "B"}, txid, "txn_marker")
+        for e in run:
+            _emit(e["payload"], txid, e["_kind"])
+        _emit({"action": "C"}, txid, "txn_marker")
+        n_markers += 2
+    counts["txn_marker"] = n_markers
+    return Feed(
+        snapshot=feed.snapshot,
+        events=new_events,
+        config=feed.config,
+        expected_counts=counts,
+    )
+
+
 # --------------------------------------------------------------------------
 # Writers
 # --------------------------------------------------------------------------

@@ -44,7 +44,8 @@ BASE_SCHEMA = T.StructType(
 )
 
 
-def make_pipeline(spark, tmp_path, *, merge_mode="mor", detect_evolution=True):
+def make_pipeline(spark, tmp_path, *, merge_mode="mor", detect_evolution=True,
+                  **pipeline_kw):
     stream = StreamDef(
         schema_name=SCHEMA_NAME,
         table_name=TABLE_NAME,
@@ -67,6 +68,7 @@ def make_pipeline(spark, tmp_path, *, merge_mode="mor", detect_evolution=True):
         state,
         metrics_dir=str(tmp_path / "metrics"),
         merge_mode=merge_mode,
+        **pipeline_kw,
     )
     return pipeline, table, state
 

@@ -253,6 +253,59 @@ def test_streaming_runner_with_txn_buffer(spark, tmp_path):
     assert _live_keys(table) == {("r1", "b.py"), ("r2", "c.py"), ("r3", "d.py")}
 
 
+def test_full_feed_txn_coherent_streaming_matches_oracle(spark, tmp_path):
+    """The whole-feed drill: a realistic feed (evolution, malformed,
+    enum-quote, other-table, numeric-empty rows) rewritten into
+    wal2json commit-order transactions (feedgen.wrap_transactions),
+    split across files that cut transactions arbitrarily, replayed
+    through the streaming runner in txn-boundary mode — final state
+    must equal the row-at-a-time oracle, and txn-marker counts must
+    match the rewritten feed's expectation."""
+    from tap_postgres_spark.feedgen import (
+        FeedConfig,
+        generate_feed,
+        wrap_transactions,
+        write_feed,
+    )
+    from tap_postgres_spark.streaming import StreamingCdcRunner
+    from tests.test_end_to_end import (
+        assert_state_matches_oracle,
+        load_snapshot,
+        make_pipeline,
+    )
+
+    feed = wrap_transactions(
+        generate_feed(
+            FeedConfig(n_events=400, n_initial_paths=80, n_feed_files=7)
+        )
+    )
+    pipeline, table, _state = make_pipeline(
+        spark, tmp_path, txn_boundary_dir=str(tmp_path / "txn")
+    )
+    load_snapshot(spark, pipeline, table, feed, tmp_path)
+    feed_dir = str(tmp_path / "feed")
+    write_feed(feed, feed_dir)
+
+    runner = StreamingCdcRunner(
+        pipeline, feed_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    results = runner.run_available_now()
+    assert len(results) >= 3
+    # at least one batch boundary landed inside a transaction
+    assert any(r["txn"]["deferred"] > 0 for r in results[:-1])
+    assert results[-1]["txn"]["deferred"] == 0  # feed drains clean
+    assert_state_matches_oracle(spark, table, feed)
+    n_markers = sum(
+        m["n"]
+        for r in results
+        for m in r["metrics"]
+        if m["_status"] == "txn_marker"
+    )
+    # deferred rows re-enter with their markers already counted in the
+    # earlier batch, so markers are counted exactly once
+    assert n_markers == feed.expected_counts["txn_marker"]
+
+
 def test_dead_letter_replay_bypasses_split(spark, tmp_path):
     """Quarantined rows replay as standalone — their txn committed when
     first seen, so replay must not wait for a marker that won't come."""
