@@ -15,8 +15,9 @@ Prints ONE JSON line:
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (override feed
 size), SPARK_GRAFT_BENCH_BATCHES (default 4), SPARK_GRAFT_SKIP_QUERIES=1,
-SPARK_GRAFT_SKIP_INDEXES=1, SPARK_GRAFT_BENCH_SAMPLES (default 3),
-SPARK_GRAFT_BENCH_STREAMS (default 1).
+SPARK_GRAFT_SKIP_INDEXES=1, SPARK_GRAFT_SKIP_TXN=1,
+SPARK_GRAFT_BENCH_SAMPLES (default 3), SPARK_GRAFT_BENCH_STREAMS
+(default 1).
 """
 
 from __future__ import annotations
@@ -404,6 +405,104 @@ def bench_index_maintenance(spark, work_dir: str, n_events: int) -> dict:
     }
 
 
+def bench_txn_overhead(spark, work_dir: str, n_events: int) -> dict:
+    """Cost of transaction-boundary atomicity (modes/txn.py), measured:
+    the same marker-coherent feed replayed plain (markers counted and
+    dropped) vs txn-mode (split + pending spill), batched so file cuts
+    land inside transactions.  Both tables must fold to identical
+    content — the ratio is the feature's price (one extra parse + one
+    txid join per batch)."""
+    from tap_postgres_spark.feedgen import generate_bulk_feed
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n = min(500_000, max(100_000, n_events // 4))
+    feed_dir = os.path.join(work_dir, f"txn-feed-{n}")
+    if not os.path.exists(os.path.join(feed_dir, "_DONE")):
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        generate_bulk_feed(
+            feed_dir, n_events=n, n_keys=max(10_000, n // 8), n_files=8,
+            seed=11, base_lsn=500_000_000, txn_markers=True,
+        )
+        open(os.path.join(feed_dir, "_DONE"), "w").write("ok")
+    files = sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir) if f.endswith(".parquet")
+    )
+    schema = T.StructType(
+        [
+            T.StructField(c, T.StringType(), True)
+            for c in ("repo", "path", "commit", "lang", "content")
+        ]
+    )
+    fqn = "public.source_code_repos"
+
+    def replay(tag: str, **kw) -> tuple[float, object]:
+        lake_dir = os.path.join(work_dir, f"txn-lake-{tag}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        # fresh state + pending spill per replay: a stale pointer or
+        # spilled-txn dir from a prior invocation would change the work
+        for leftover in (
+            os.path.join(work_dir, f"txn-state-{tag}.json"),
+            os.path.join(work_dir, "txn-pending"),
+        ):
+            shutil.rmtree(leftover, ignore_errors=True)
+            if os.path.exists(leftover):
+                os.remove(leftover)
+        table = LakeTable.create(
+            spark, lake_dir, widen_for_cdc(schema), ["repo", "path"],
+            num_buckets=32,
+        )
+        pipe = CdcPipeline(
+            spark,
+            [StreamDef("public", "source_code_repos", schema, ("repo", "path"))],
+            {fqn: {c: "text" for c in schema.fieldNames()}},
+            {fqn: table},
+            StateStore(os.path.join(work_dir, f"txn-state-{tag}.json")),
+            detect_evolution=False,
+            **kw,
+        )
+        t0 = time.time()
+        for i in range(0, len(files), 2):  # 2 files per batch → cuts mid-txn
+            pipe.apply_batch(
+                spark.read.schema("lsn long, txid long, payload string")
+                .parquet(*files[i : i + 2]),
+                epoch_id=f"txn-{tag}-{i}",
+            )
+        return round(time.time() - t0, 2), table
+
+    plain_s, t_plain = replay("plain")
+    atomic_s, t_atomic = replay(
+        "atomic", txn_boundary_dir=os.path.join(work_dir, "txn-pending")
+    )
+
+    def fold(table) -> tuple:
+        r = table.read().select(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "repo", "path", "commit")), 1, 15
+                    ), 16, 10,
+                ).cast("long") % 1_000_003
+            ).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (r["s"], r["n"])
+
+    same = fold(t_plain) == fold(t_atomic)
+    return {
+        "events": n,
+        "plain_s": plain_s,
+        "atomic_s": atomic_s,
+        "overhead_x": round(atomic_s / max(plain_s, 1e-9), 3),
+        "verify": "ok" if same else "MISMATCH",
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     """Time every ``queries()`` entry (noop sink, full execution).
 
@@ -461,6 +560,9 @@ def main() -> None:
     indexes: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_INDEXES") != "1":
         indexes = bench_index_maintenance(spark, work_dir, cdc["events"])
+    txn: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_TXN") != "1":
+        txn = bench_txn_overhead(spark, work_dir, cdc["events"])
     queries: dict[str, float] = {}
     query_cert: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
@@ -489,6 +591,7 @@ def main() -> None:
                       "final_rows", "streams", "verify")
         },
         "indexes": indexes,
+        "txn": txn,
     }
     # Only refresh the committed detail artifact when the query sweep
     # actually ran: scaling / CDC-only invocations (SKIP_QUERIES=1,
@@ -513,6 +616,7 @@ def main() -> None:
                            for k, v in line["queries"].items()}
         slim["cdc"] = {k: cdc[k] for k in ("events", "events_per_sec", "verify")}
         slim.pop("indexes", None)
+        slim.pop("txn", None)
         return json.dumps(slim, separators=(",", ":"))
     out = json.dumps(line, separators=(",", ":"))
     if len(out) > budget:
@@ -527,6 +631,7 @@ def main() -> None:
                            "_queries_total_s": round(sum(queries.values()), 2)}
         slim["cdc"] = {k: cdc[k] for k in ("events", "events_per_sec", "verify")}
         slim.pop("indexes", None)
+        slim.pop("txn", None)
         out = json.dumps(slim, separators=(",", ":"))
     print(out, flush=True)
 

@@ -489,8 +489,17 @@ def generate_bulk_feed(
     skew: float = 1.1,
     base_lsn: int = 1_000_000,
     tables: tuple[str, ...] = ("source_code_repos",),
+    txn_markers: bool = False,
 ) -> dict[str, Any]:
     """Vectorized wal2json feed at bench scale.
+
+    ``txn_markers=True`` appends B/C transaction markers per file chunk
+    (vectorized, ~n/4 marker pairs): a txid's ``C`` lands in the chunk
+    holding the run's LAST row, so under whole-file micro-batches the
+    txn-boundary split (modes/txn.py) sees every commit no later than
+    its rows — runs spanning a chunk boundary defer exactly one batch.
+    Markers reuse their run's boundary LSNs (protocol rows never enter
+    the merge, so duplicate LSNs are harmless).
 
     All payload construction is numpy/pandas string ops (≈10^6 rows/sec in
     pure Python would bottleneck the *generator*, not the engine).  Keys
@@ -585,6 +594,25 @@ def generate_bulk_feed(
         chunk = pd.DataFrame(
             {"lsn": lsn[sl], "txid": txid[sl], "payload": payload}
         )
+        if txn_markers:
+            t = txid[sl]
+            lo = lsn[sl]
+            prev_last = txid[sl.start - 1] if sl.start > 0 else None
+            next_first = txid[sl.stop] if sl.stop < n_events else None
+            uniq = np.unique(t)  # sorted (txid is nondecreasing)
+            opened = uniq if prev_last is None else uniq[uniq > prev_last]
+            closed = uniq if next_first is None else uniq[uniq < next_first]
+            b_pos = np.searchsorted(t, opened, side="left")
+            c_pos = np.searchsorted(t, closed, side="right") - 1
+            markers = pd.DataFrame(
+                {
+                    "lsn": np.concatenate([lo[b_pos], lo[c_pos]]),
+                    "txid": np.concatenate([opened, closed]),
+                    "payload": ['{"action":"B"}'] * len(opened)
+                    + ['{"action":"C"}'] * len(closed),
+                }
+            )
+            chunk = pd.concat([chunk, markers], ignore_index=True)
         pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
                        os.path.join(out_dir, f"feed-{i:05d}.parquet"))
     return {

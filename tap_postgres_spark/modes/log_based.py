@@ -235,23 +235,29 @@ class CdcPipeline:
         full = raw.select("lsn", "txid", "payload")
         if in_dir is not None:
             full = full.unionByName(self.spark.read.parquet(in_dir))
-        # one extra parse pass over the batch (the split needs actions
-        # before the core's own parse); persisted so the ready/deferred
-        # split, the spill write and the stats agg share it
-        parsed = parse_raw_payloads(full).persist()
+        # the split flags each row once into a raw+bool cache (see
+        # split's docstring for the measured cost rationale)
+        ready, deferred, cached = buf.split(full)
         try:
-            ready, deferred = buf.split(parsed)
-            stats = deferred.agg(
-                F.count("*").alias("n"), F.min("lsn").alias("lo")
-            ).first()
-            n_def, min_lsn = int(stats["n"]), stats["lo"]
-            out_dir = None
-            if n_def:
-                out_dir = buf.stage_dir(epoch_id)
-                deferred.write.mode("overwrite").parquet(out_dir)
+            # ONE action covers the spill write AND its stats (observe
+            # rides the write scan) — and materializes the shared cache
+            obs = Observation()
+            deferred = deferred.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.min("lsn").alias("lo"),
+            )
+            out_dir = buf.stage_dir(epoch_id)
+            deferred.write.mode("overwrite").parquet(out_dir)
+            n_def, min_lsn = int(obs.get["n"]), obs.get["lo"]
+            if not n_def:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                out_dir = None
             result = self._apply_batch_core(ready, epoch_id, batch_time)
         finally:
-            parsed.unpersist()
+            cached.unpersist()
         # pointer commits AFTER the merge: a crash anywhere in between
         # replays this epoch against the SAME input dir (input_dir()
         # returns ptr["in"] for the pointer's own epoch), recomputing an
@@ -272,7 +278,12 @@ class CdcPipeline:
     ) -> dict[str, Any]:
         batch_time = batch_time or datetime.now(timezone.utc)
         fqns = list(self.streams.keys())
-        classified = classify(parse_raw_payloads(raw), fqns)
+        # accept either raw (lsn, txid, payload) or an already-parsed
+        # batch (_env present) — the txn split hands over raw rows (its
+        # flag pass uses a narrow action-only parse; see txn.py), so the
+        # full LEAN_SCHEMA parse happens exactly once, here
+        envelope = raw if "_env" in raw.columns else parse_raw_payloads(raw)
+        classified = classify(envelope, fqns)
         # caching the parsed batch only pays off when several streams will
         # re-scan it; for the single-stream flagship path a re-parse is
         # cheaper than materializing nested structs into the block store

@@ -128,37 +128,64 @@ class TxnBoundaryBuffer:
                 shutil.rmtree(full, ignore_errors=True)
 
     # -- the split ----------------------------------------------------
-    def split(self, parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(parsed batch with ``_env``) → (ready raw, deferred raw).
+    def split(
+        self, raw: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(raw batch) → (ready raw, deferred raw, cached handle).
 
         Deferred = data rows (I/U/D) whose txid has no ``C`` marker in
         the batch.  NULL-txid rows are standalone (auto-committed);
         markers and protocol rows always pass through (they are counted,
         never applied).  Both outputs are raw (lsn, txid, payload) —
-        the normal pipeline re-parses ready rows, the spill re-enters
-        as raw next batch.
+        the normal pipeline parses ready rows, the spill re-enters as
+        raw next batch.  The third element is the shared persisted
+        relation both sides read from; the caller unpersists it once
+        the batch is applied.
+
+        Cost shape (measured at 500k-event batches, BASELINE.md):
+        - the flag pass uses a NARROW action-only ``from_json`` — the
+          full LEAN_SCHEMA parse that builds per-column structs is the
+          pipeline's dominant cost, and the split doesn't need it;
+        - the committed-txid set broadcasts (|txns in batch| bare
+          longs — a 10^6-txn micro-batch broadcasts ~8 MB), so nothing
+          shuffles the payload batch;
+        - the flag is materialized ONCE into a (lsn, txid, payload,
+          __defer) cache — raw strings plus one boolean, NOT the parsed
+          envelope (caching the parsed struct breaks whole-stage fusion
+          and was measured slower than re-parsing).  Without the cache
+          every downstream job re-runs repair + narrow parse + join.
+        The enum-quote repair runs before the narrow parse so a
+        repairable data row can't dodge its transaction and leak early.
         """
+        from ..functions import repair_enum_quotes
+
+        act = F.from_json(
+            repair_enum_quotes(F.col("payload")), "action STRING"
+        )["action"]
         committed = (
-            parsed.filter(
-                (F.col("_env.action") == "C") & F.col("txid").isNotNull()
-            )
+            raw.filter((act == "C") & F.col("txid").isNotNull())
             .select("txid")
             .distinct()
             .withColumn("__committed", F.lit(True))
         )
-        flagged = parsed.join(committed, on="txid", how="left")
         # coalesce: a malformed row's action is NULL, making the raw
         # predicate NULL — which three-valued filters would drop from
         # BOTH branches; malformed rows must pass through (the core
         # pipeline counts + quarantines them)
         defer = F.coalesce(
-            F.col("_env.action").isin(*DATA_ACTIONS)
+            act.isin(*DATA_ACTIONS)
             & F.col("txid").isNotNull()
             & F.col("__committed").isNull(),
             F.lit(False),
         )
+        flagged = (
+            raw.join(F.broadcast(committed), on="txid", how="left")
+            .select("lsn", "txid", "payload", defer.alias("__defer"))
+            .persist()
+        )
         raw_cols = ["lsn", "txid", "payload"]
         return (
-            flagged.filter(~defer).select(*raw_cols),
-            flagged.filter(defer).select(*raw_cols),
+            flagged.filter(~F.col("__defer")).select(*raw_cols),
+            flagged.filter(F.col("__defer")).select(*raw_cols),
+            flagged,
         )

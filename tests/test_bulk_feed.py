@@ -128,3 +128,63 @@ def test_bulk_feed_single_table_unchanged_by_tables_param(spark, tmp_path):
         ha = hashlib.md5(open(os.path.join(a, f), "rb").read()).hexdigest()
         hb = hashlib.md5(open(os.path.join(b, f), "rb").read()).hexdigest()
         assert ha == hb, f
+
+
+def _mk_pipeline(spark, tmp_path, tag, **kw):
+    table = LakeTable.create(
+        spark, str(tmp_path / f"lake_{tag}"), widen_for_cdc(SCHEMA),
+        ["repo", "path"], num_buckets=8,
+    )
+    pipe = CdcPipeline(
+        spark,
+        [StreamDef("public", "source_code_repos", SCHEMA, ("repo", "path"))],
+        {FQN: {f.name: "text" for f in SCHEMA.fields}},
+        {FQN: table},
+        StateStore(str(tmp_path / f"state_{tag}.json")),
+        **kw,
+    )
+    return pipe, table
+
+
+def _content_hash(table):
+    return tuple(
+        table.read().select(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "repo", "path", "commit", "content")),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long") % 1_000_003
+            ).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+    )
+
+
+def test_bulk_feed_txn_markers_roundtrip(spark, tmp_path):
+    """Marker-coherent bulk feed: txn-boundary replay over batch cuts
+    that land mid-transaction equals the plain replay of the same feed
+    (markers dropped) — the bench txn-overhead path, pinned small."""
+    feed_dir = str(tmp_path / "feed")
+    generate_bulk_feed(
+        feed_dir, n_events=20_000, n_keys=3_000, n_files=8, txn_markers=True
+    )
+    files = sorted(
+        os.path.join(feed_dir, f)
+        for f in os.listdir(feed_dir) if f.endswith(".parquet")
+    )
+
+    plain, t_plain = _mk_pipeline(spark, tmp_path, "plain")
+    atomic, t_atomic = _mk_pipeline(
+        spark, tmp_path, "atomic", txn_boundary_dir=str(tmp_path / "txn")
+    )
+    deferred_seen = 0
+    for i, f in enumerate(files):  # one file per batch: cuts hit open txns
+        raw = spark.read.parquet(f)
+        plain.apply_batch(raw, epoch_id=f"p{i}")
+        res = atomic.apply_batch(raw, epoch_id=f"a{i}")
+        deferred_seen += res["txn"]["deferred"]
+    assert deferred_seen > 0  # chunk boundaries really cut transactions
+    assert res["txn"]["deferred"] == 0  # drained clean at the end
+    assert _content_hash(t_atomic) == _content_hash(t_plain)

@@ -253,7 +253,7 @@ def test_timestamp_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no version committed"):
         t.version_as_of(datetime(2000, 1, 1, tzinfo=timezone.utc))
-    with _pytest.raises(ValueError, match="not both"):
+    with _pytest.raises(ValueError, match="at most one"):
         t.read(version=1, as_of=between)
     # every version carries its own commit stamp (no inherited parent stamp)
     stamps = [t.metadata(v)["committed_at"] for v in range(1, t.current_version() + 1)]

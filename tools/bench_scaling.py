@@ -46,6 +46,7 @@ def run_level(cpus: int, n_events: int, work_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_EVENTS=str(n_events),
         SPARK_GRAFT_SKIP_QUERIES="1",
+        SPARK_GRAFT_SKIP_TXN="1",  # scaling measures the CDC path only
         SPARK_GRAFT_BENCH_SAMPLES="1",  # this tool already does best-of-N
         SPARK_GRAFT_WORK_DIR=work_dir,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
