@@ -235,12 +235,13 @@ class CdcPipeline:
         full = raw.select("lsn", "txid", "payload")
         if in_dir is not None:
             full = full.unionByName(self.spark.read.parquet(in_dir))
-        # the split flags each row once into a raw+bool cache (see
-        # split's docstring for the measured cost rationale)
+        # the split persists only the tiny committed-txid set; both
+        # outputs re-scan the raw batch (see split's docstring for the
+        # measured cost rationale)
         ready, deferred, cached = buf.split(full)
         try:
             # ONE action covers the spill write AND its stats (observe
-            # rides the write scan) — and materializes the shared cache
+            # rides the write scan) — and materializes the committed set
             obs = Observation()
             deferred = deferred.observe(
                 obs,

@@ -138,54 +138,70 @@ class TxnBoundaryBuffer:
         markers and protocol rows always pass through (they are counted,
         never applied).  Both outputs are raw (lsn, txid, payload) —
         the normal pipeline parses ready rows, the spill re-enters as
-        raw next batch.  The third element is the shared persisted
-        relation both sides read from; the caller unpersists it once
-        the batch is applied.
+        raw next batch.  The third element is the persisted
+        committed-txid set both outputs' broadcast joins build from;
+        the caller unpersists it once the batch is applied.
 
         Cost shape (measured at 500k-event batches, BASELINE.md):
-        - the flag pass uses a NARROW action-only ``from_json`` — the
-          full LEAN_SCHEMA parse that builds per-column structs is the
-          pipeline's dominant cost, and the split doesn't need it;
-        - the committed-txid set broadcasts (|txns in batch| bare
-          longs — a 10^6-txn micro-batch broadcasts ~8 MB), so nothing
-          shuffles the payload batch;
-        - the flag is materialized ONCE into a (lsn, txid, payload,
-          __defer) cache — raw strings plus one boolean, NOT the parsed
-          envelope (caching the parsed struct breaks whole-stage fusion
-          and was measured slower than re-parsing).  Without the cache
-          every downstream job re-runs repair + narrow parse + join.
+        - only the TINY committed-txid set persists (|txns in batch|
+          bare longs); the payload batch is never written to the block
+          store — both consumers re-scan the raw parquet, which is far
+          cheaper than materializing ~batch-size strings into memory
+          (the full-batch raw+flag cache was measured at 1.72× plain
+          replay; this shape is 1.50×, and the residual is the
+          irreducible second job per batch: the spill write's scan +
+          its fixed scheduling cost);
+        - the committed set broadcasts, so nothing shuffles the batch;
+        - the per-row action parse is LAZY: a row whose txid has a
+          ``C`` marker in the batch is ready regardless of its action,
+          so the narrow action-only ``from_json`` sits in the
+          ``otherwise`` branch of a ``when`` on the join flag and
+          codegen evaluates it only for rows of OPEN transactions (a
+          batch-cut's worth, not the batch).  The full LEAN_SCHEMA
+          parse stays single, downstream in the core.
         The enum-quote repair runs before the narrow parse so a
         repairable data row can't dodge its transaction and leak early.
         """
         from ..functions import repair_enum_quotes
 
-        act = F.from_json(
+        # wal2json v2 writes "action" as the object's FIRST key
+        # (reference client.py:578 switches on msg["payload"]["action"];
+        # the plugin emits {"action":"X",...} literally), so a bounded
+        # prefix regex recovers it in O(64 chars) per row instead of
+        # tokenizing the whole payload — the from_json narrow parse over
+        # a source-code batch was the split's dominant cost (full-batch
+        # repair regex + JSON scan just to find ~10 marker rows).  Rows
+        # whose prefix doesn't match (foreign format, malformed head)
+        # fall back to the repaired narrow parse; a repairable data row
+        # therefore still can't dodge its transaction and leak early.
+        act_fast = F.regexp_extract(
+            F.substring("payload", 1, 64),
+            r'^\s*\{\s*"action"\s*:\s*"([A-Za-z]+)"',
+            1,
+        )
+        act_slow = F.from_json(
             repair_enum_quotes(F.col("payload")), "action STRING"
         )["action"]
+        act = F.when(act_fast != F.lit(""), act_fast).otherwise(act_slow)
         committed = (
             raw.filter((act == "C") & F.col("txid").isNotNull())
             .select("txid")
             .distinct()
             .withColumn("__committed", F.lit(True))
+            .persist()
         )
         # coalesce: a malformed row's action is NULL, making the raw
         # predicate NULL — which three-valued filters would drop from
         # BOTH branches; malformed rows must pass through (the core
         # pipeline counts + quarantines them)
-        defer = F.coalesce(
-            act.isin(*DATA_ACTIONS)
-            & F.col("txid").isNotNull()
-            & F.col("__committed").isNull(),
+        defer = F.when(
+            F.col("txid").isNull() | F.col("__committed").isNotNull(),
             F.lit(False),
-        )
-        flagged = (
-            raw.join(F.broadcast(committed), on="txid", how="left")
-            .select("lsn", "txid", "payload", defer.alias("__defer"))
-            .persist()
-        )
+        ).otherwise(F.coalesce(act.isin(*DATA_ACTIONS), F.lit(False)))
+        flagged = raw.join(F.broadcast(committed), on="txid", how="left")
         raw_cols = ["lsn", "txid", "payload"]
         return (
-            flagged.filter(~F.col("__defer")).select(*raw_cols),
-            flagged.filter(F.col("__defer")).select(*raw_cols),
-            flagged,
+            flagged.filter(~defer).select(*raw_cols),
+            flagged.filter(defer).select(*raw_cols),
+            committed,
         )
