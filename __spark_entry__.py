@@ -279,6 +279,73 @@ def q_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derived.read().select("user_id", "value_x2", "_sdc_lsn")
 
 
+def q_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate view (lake/aggview.py): a base CDC table is
+    built in two merge epochs split at the median event_id; the view
+    (per-event-type COUNT/SUM/AVG over live users) is BOOTSTRAPPED after
+    epoch one and then delta-REFRESHED from the changelog only — O(the
+    second epoch's keys), never a rescan of the base.  Final contents
+    must equal a full GROUP BY of the base head (the oracle)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.lake.aggview import (
+        Agg,
+        bootstrap_aggregate_view,
+        read_aggregate_view,
+        refresh_aggregate_view,
+    )
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    _pin_session(spark)
+    ev = _events(spark, sf_dir)
+    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("etype", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+    )
+
+    def as_batch(df: DataFrame) -> DataFrame:
+        is_del = F.col("event_type") == "error"
+        return df.select(
+            F.col("user_id"),
+            F.col("event_type").alias("etype"),
+            F.when(is_del, F.lit(None)).otherwise(F.col("value")).alias("value"),
+            F.col("event_id").alias("_sdc_lsn"),
+            F.when(is_del, F.lit("2024-01-01T00:00:00Z"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("_sdc_deleted_at"),
+        )
+
+    aggs = [
+        Agg("count", None, "n_users"),
+        Agg("sum", "value", "sum_value"),
+        Agg("avg", "value", "avg_value"),
+        Agg("count_col", "value", "n_values"),
+    ]
+    d = tempfile.mkdtemp(prefix="tps-aggview-")
+    base = LakeTable.create(spark, f"{d}/base", schema, ["user_id"], num_buckets=8)
+    base.merge_into(as_batch(ev.filter(F.col("event_id") <= h)), epoch_id="a1")
+    view = bootstrap_aggregate_view(spark, base, f"{d}/view", ["etype"], aggs)
+    base.merge_into(as_batch(ev.filter(F.col("event_id") > h)), epoch_id="a2")
+    refresh_aggregate_view(base, view, aggs)
+    out = read_aggregate_view(view, aggs)
+    return out.select(
+        "etype",
+        "n_users",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "n_values",
+    )
+
+
 def q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot→stream handoff over the REAL LakeTable + bootstrap API
     (modes/bootstrap.py): a consistent snapshot of the events-derived
@@ -1387,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_deep": q_semantic_dedup_deep,
         "minhash_index_probe": q_minhash_index_probe,
         "source_overlap": q_source_overlap,
+        "aggregate_view": q_aggregate_view,
         # --- certified in CORRECTNESS_r03, re-certifying this round ---
         "full_table_scan": q_full_table_scan,
         "incremental_scan": q_incremental_scan,
@@ -2156,6 +2224,18 @@ def oracle_sql() -> dict[str, str]:
                             FROM events GROUP BY user_id)
             SELECT user_id, round(value * 2, 6) AS value_x2, lsn AS _sdc_lsn
             FROM latest WHERE last_type <> 'error'
+        """,
+        "aggregate_view": """
+            WITH latest AS (SELECT user_id,
+                                   max_by(event_type, event_id) AS etype,
+                                   max_by(value, event_id) AS value
+                            FROM events GROUP BY user_id),
+            live AS (SELECT * FROM latest WHERE etype <> 'error')
+            SELECT etype, count(*) AS n_users,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 4) AS avg_value,
+                   count(value) AS n_values
+            FROM live GROUP BY etype
         """,
         "merge_apply": """
             SELECT user_id, event_id AS last_event_id, value

@@ -21,6 +21,8 @@ Config keys (JSON file passed via --config):
 - ``key_properties``    {table: [cols]} primary keys
 - ``replication``       {table: {"method": ..., "key": ...}}
 - ``wal_feed_dir`` / ``lake_dir`` / ``checkpoint_dir``  LOG_BASED replay dirs
+- ``txn_boundary_dir``  defer uncommitted transactions across batches (modes/txn.py)
+- ``snapshots_dir``     publish cross-table consistent snapshots per epoch (lake/snapshots.py)
 - ``spark``             {"master": "local[8]", "shuffle_partitions": N}
 
 Stdout carries ONLY Singer messages (one JSON per line); diagnostics go
@@ -163,6 +165,8 @@ def _sync_log_based(
         metrics_dir=f"{lake_path}/_metrics",
         dead_letter_dir=config.get("dead_letter_dir"),
         retention_keep_last=config.get("retention_keep_last"),
+        txn_boundary_dir=config.get("txn_boundary_dir"),
+        snapshots_dir=config.get("snapshots_dir"),
     )
     runner = StreamingCdcRunner(
         pipeline,
@@ -234,6 +238,7 @@ _CONFIG_KEYS = {
     "wal_feed_dir", "lake_dir", "checkpoint_dir", "dead_letter_dir",
     "pg_types", "num_buckets", "max_files_per_trigger", "start_date",
     "stream_maps", "stream_map_config", "spark", "retention_keep_last",
+    "txn_boundary_dir", "snapshots_dir",
 }
 
 

@@ -1,0 +1,345 @@
+"""Incrementally-maintained aggregate views over a CDC lake table.
+
+Classic incremental view maintenance (IVM) for ``GROUP BY`` aggregates,
+specialized to the CDC lake: a view ``SELECT g..., COUNT(*), SUM(x),
+AVG(y) FROM base GROUP BY g...`` is materialized as a second
+:class:`~tap_postgres_spark.lake.table.LakeTable` keyed on the group
+columns and kept current at **O(|changes| + |touched groups|)** per
+refresh — never O(|table|).  At 10^10 rows this is the difference
+between a dashboard that follows the stream and one that re-reads
+100 TB per tick.
+
+Mechanism (all distributive-aggregate delta math, no recompute):
+
+1. ``base.read_changes(from_v, to_v)`` — the folded changelog: the
+   LATEST image of every key touched in the range, tombstones included.
+2. The OLD image of exactly those keys, from the base snapshot at
+   ``from_v`` — a bucket-pruned point read (``buckets_for_keys`` +
+   broadcast ``LEFT SEMI``), so it scans only the touched buckets and
+   ships only the changed-key set (the same large-key-set strategy as
+   :meth:`LakeTable.read_keys`).
+3. Per group: ``delta = contrib(new live images) − contrib(old
+   images)``.  A key whose group column changed subtracts from the old
+   group and adds to the new one; an insert has no old image; a delete
+   has no new contribution — all three fall out of the same full-outer
+   combine.  Groups whose delta is entirely zero are dropped before any
+   further I/O.
+4. The CURRENT view rows for the touched groups (a point read on the
+   view — the group columns ARE its keys, so bucket pruning applies),
+   plus the delta, gives the new absolute rows.  Groups whose live-row
+   count reaches zero are tombstoned; a group that reappears later
+   simply wins by LSN.  The merge commits under epoch id
+   ``aggview-from-base-v{to_v}`` so crashed refreshes replay as no-ops
+   (the same exactly-once guard as ingest and ``lake/derived.py``).
+
+Supported aggregates — the self-maintainable (distributive) family:
+``count`` (live rows), ``count_col`` (non-NULL values), ``sum``,
+``avg`` (maintained as sum + non-NULL count).  ``min``/``max`` are
+deliberately rejected: they are not retractable — deleting the current
+minimum forces a recompute of that group, and the base table is
+bucketed by ITS keys, not by the view's group columns, so that
+recompute is an O(|table|) scan.  A view that needs them should be
+declared over a base keyed (or derived-table-projected) by the group.
+
+SQL NULL semantics are preserved: each ``sum``/``avg`` also maintains
+its non-NULL input count, and :func:`read_aggregate_view` renders the
+column NULL when that count is zero (``SUM`` over an all-NULL group is
+NULL, not 0 — the storage delta math uses 0 internally).
+
+Floating-point caveat: a delta-maintained ``double`` sum reorders the
+additions relative to a one-shot recompute, so the two agree to ~1e-12
+relative error, not bit-exactly.  Integer and decimal sums are exact —
+declare the base column ``decimal`` where exactness matters.
+
+Reference parity note: the reference tap stops at the Singer message
+stream (client.py:234-260 hands bookmarks downstream); this is the
+Spark-side continuation — the same bookmark contract that enables
+incremental extraction enables incremental aggregation.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import SDC_DELETED_AT, SDC_LSN
+from .derived import refreshed_base_version
+from .table import LakeTable
+
+_EPOCH_PREFIX = "aggview-from-base-v"
+_CNT = "__cnt"  # live-row count: liveness witness, always maintained
+
+_KINDS = ("count", "count_col", "sum", "avg")
+
+
+@dataclass(frozen=True)
+class Agg:
+    """One aggregate column of the view.
+
+    ``kind``: ``count`` (live rows; ``col`` ignored), ``count_col``
+    (non-NULL values of ``col``), ``sum``, ``avg``.
+    ``name``: the output column (must be unique, and distinct from the
+    group columns).
+    """
+
+    kind: str
+    col: str | None
+    name: str
+
+    def __post_init__(self) -> None:
+        if self.kind not in _KINDS:
+            raise ValueError(
+                f"unsupported aggregate kind {self.kind!r}; supported: "
+                f"{_KINDS} (min/max are not retractable — see module "
+                "docstring)"
+            )
+        if self.kind != "count" and not self.col:
+            raise ValueError(f"{self.kind} needs an input column")
+
+
+def _storage_cols(aggs: list[Agg]) -> list[tuple[str, str]]:
+    """(storage column, contribution kind) pairs, deduplicated.
+
+    Contribution kinds: ``rows`` (count of rows), ``nn:<col>`` (count of
+    non-NULL <col>), ``sum:<col>`` (NULL-skipping sum of <col>).
+    """
+    out: list[tuple[str, str]] = [(_CNT, "rows")]
+    for a in aggs:
+        if a.kind == "count":
+            continue  # rendered from _CNT
+        if a.kind == "count_col":
+            out.append((a.name, f"nn:{a.col}"))
+        elif a.kind == "sum":
+            out.append((f"__s_{a.name}", f"sum:{a.col}"))
+            out.append((f"__n_{a.name}", f"nn:{a.col}"))
+        elif a.kind == "avg":
+            out.append((f"__s_{a.name}", f"sum:{a.col}"))
+            out.append((f"__n_{a.name}", f"nn:{a.col}"))
+    seen: set[str] = set()
+    dedup = []
+    for name, contrib in out:
+        if name in seen:
+            raise ValueError(f"duplicate aggregate output name {name!r}")
+        seen.add(name)
+        dedup.append((name, contrib))
+    return dedup
+
+
+def _contrib_exprs(aggs: list[Agg]) -> list:
+    """Aggregation expressions computing each storage column's
+    contribution over a relation of live base rows."""
+    exprs = []
+    for name, contrib in _storage_cols(aggs):
+        if contrib == "rows":
+            exprs.append(F.count(F.lit(1)).alias(name))
+        elif contrib.startswith("nn:"):
+            exprs.append(F.count(F.col(contrib[3:])).alias(name))
+        else:  # sum:<col> — coalesced so delta arithmetic never sees NULL
+            exprs.append(
+                F.coalesce(F.sum(contrib[4:]), F.lit(0)).alias(name)
+            )
+    return exprs
+
+
+def _nullsafe_outer_combine(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    cols: list[str],
+    combine,
+) -> DataFrame:
+    """Full-outer join on ``on`` with NULL-safe equality (a NULL group
+    value — e.g. an un-tagged ``lang`` — is one group, exactly as
+    ``GROUP BY`` treats it; a plain join condition would split it into
+    two rows that the view's keyed merge would then collapse
+    arbitrarily), combining each of ``cols`` via ``combine(l, r)`` with
+    NULLs coalesced to 0."""
+    # dataset aliases, not DataFrame column refs: the two sides may
+    # share plan lineage (delta feeds the view point read that becomes
+    # the other side), which makes df[col] references ambiguous
+    l = left.select(*on, *[F.col(c).alias(f"__l_{c}") for c in cols]).alias("__l")
+    r = right.select(*on, *[F.col(c).alias(f"__r_{c}") for c in cols]).alias("__r")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"__l.{g}").eqNullSafe(F.col(f"__r.{g}")) for g in on],
+    )
+    return l.join(r, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__l.{g}"), F.col(f"__r.{g}")).alias(g)
+            for g in on
+        ],
+        *[
+            combine(
+                F.coalesce(F.col(f"__l_{c}"), F.lit(0)),
+                F.coalesce(F.col(f"__r_{c}"), F.lit(0)),
+            ).alias(c)
+            for c in cols
+        ],
+    )
+
+
+def _nullsafe_semi(left: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
+    cond = functools.reduce(
+        operator.and_, [left[g].eqNullSafe(keys[g]) for g in on]
+    )
+    return left.join(F.broadcast(keys), cond, "left_semi")
+
+
+def _validate(base: LakeTable, group_cols: list[str], aggs: list[Agg]) -> None:
+    cols = set(base.schema.fieldNames())
+    for g in group_cols:
+        if g not in cols:
+            raise ValueError(f"group column {g!r} not in base schema")
+    names = set(group_cols)
+    for a in aggs:
+        if a.kind != "count" and a.col not in cols:
+            raise ValueError(f"aggregate input {a.col!r} not in base schema")
+        if a.name in names:
+            raise ValueError(f"aggregate name {a.name!r} collides")
+        names.add(a.name)
+
+
+def bootstrap_aggregate_view(
+    spark: SparkSession,
+    base: LakeTable,
+    view_path: str,
+    group_cols: list[str],
+    aggs: list[Agg],
+    *,
+    num_buckets: int | None = None,
+) -> LakeTable:
+    """Create the view from one full group-by over the base head — the
+    single O(|table|) pass; every later :func:`refresh_aggregate_view`
+    is O(|changes|).  The view is a LakeTable keyed on ``group_cols``;
+    storage columns are internal (read through
+    :func:`read_aggregate_view` for SQL-shaped output)."""
+    _validate(base, group_cols, aggs)
+    to_v = base.current_version()
+    live = base.read()
+    contrib = live.groupBy(*group_cols).agg(*_contrib_exprs(aggs))
+    batch = contrib.select(
+        *contrib.columns,
+        F.lit(to_v).cast("long").alias(SDC_LSN),
+        F.lit(None).cast("string").alias(SDC_DELETED_AT),
+    )
+    schema = T.StructType(list(batch.schema.fields))
+    view = LakeTable.create(
+        spark,
+        view_path,
+        schema,
+        list(group_cols),
+        num_buckets=num_buckets if num_buckets is not None else base.num_buckets,
+    )
+    view.merge_into(batch, epoch_id=f"{_EPOCH_PREFIX}{to_v}")
+    return view
+
+
+def refresh_aggregate_view(
+    base: LakeTable,
+    view: LakeTable,
+    aggs: list[Agg],
+    *,
+    to_version: int | None = None,
+) -> dict[str, Any]:
+    """Bring the view up to the base head by delta-applying ONLY the
+    changed keys' contributions (module docstring has the math).
+
+    Shares the changelog constraints of ``lake/derived.py``: the range
+    must not cross the retention floor (``read_changes`` raises — the
+    base snapshot at ``from_v`` must also still be readable), and
+    compact commits in the range are pass-through.  On a floor raise,
+    re-bootstrap the view."""
+    group_cols = view.key_columns
+    from_v = refreshed_base_version(view, _EPOCH_PREFIX)
+    to_v = to_version if to_version is not None else base.current_version()
+    if to_v <= from_v:
+        return {"skipped": True, "refreshed_version": from_v}
+
+    changed = base.read_changes(from_v, to_v)
+    key_cols = base.key_columns
+    changed_keys = changed.select(*key_cols).distinct()
+    # old images: bucket-pruned snapshot read at from_v, semi-joined to
+    # the changed keys — only the touched buckets are scanned and only
+    # the key set ships (read_keys' large-set strategy; read_keys itself
+    # reads the HEAD, this needs the from_v snapshot)
+    old = (
+        base.read(
+            version=from_v,
+            # bucket ids computed under from_v's layout: a rebucket
+            # between from_v and the head changes the bucket count
+            buckets=base.buckets_for_keys(changed_keys, version=from_v),
+        )
+        .join(F.broadcast(changed_keys), key_cols, "left_semi")
+    )
+    new_live = changed.filter(F.col(SDC_DELETED_AT).isNull())
+
+    exprs = _contrib_exprs(aggs)
+    store = [name for name, _ in _storage_cols(aggs)]
+    plus = new_live.groupBy(*group_cols).agg(*exprs)
+    minus = old.groupBy(*group_cols).agg(*exprs)
+    delta = _nullsafe_outer_combine(
+        plus, minus, group_cols, store, operator.sub
+    ).filter(
+        # an update that left the group and every input unchanged
+        # contributes nothing — drop it before the view point read
+        functools.reduce(
+            operator.or_, [F.abs(F.col(c)) > 0 for c in store]
+        )
+    )
+    touched = delta.select(*group_cols).distinct()
+    current = _nullsafe_semi(
+        view.read(buckets=view.buckets_for_keys(touched)), touched, group_cols
+    ).select(*group_cols, *store)
+    merged = _nullsafe_outer_combine(
+        current, delta, group_cols, store, operator.add
+    )
+    dead = F.col(_CNT) <= 0
+    batch = merged.select(
+        *group_cols,
+        *store,
+        F.lit(to_v).cast("long").alias(SDC_LSN),
+        F.when(dead, F.lit("1970-01-01T00:00:00Z"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias(SDC_DELETED_AT),
+    )
+    summary = view.merge_into(batch, epoch_id=f"{_EPOCH_PREFIX}{to_v}")
+    return {
+        "skipped": bool(summary.get("skipped")),
+        "from_version": from_v,
+        "to_version": to_v,
+        "view_version": summary.get("version"),
+    }
+
+
+def read_aggregate_view(view: LakeTable, aggs: list[Agg]) -> DataFrame:
+    """SQL-shaped view contents: group columns + one column per ``Agg``
+    with standard SQL semantics (``SUM``/``AVG`` are NULL over groups
+    with no non-NULL input; counts are 0-free because dead groups are
+    tombstoned away)."""
+    df = view.read()
+    group_cols = view.key_columns
+    out = [F.col(g) for g in group_cols]
+    for a in aggs:
+        if a.kind == "count":
+            out.append(F.col(_CNT).alias(a.name))
+        elif a.kind == "count_col":
+            out.append(F.col(a.name))
+        elif a.kind == "sum":
+            out.append(
+                F.when(F.col(f"__n_{a.name}") > 0, F.col(f"__s_{a.name}"))
+                .alias(a.name)
+            )
+        else:  # avg
+            out.append(
+                F.when(
+                    F.col(f"__n_{a.name}") > 0,
+                    F.col(f"__s_{a.name}") / F.col(f"__n_{a.name}"),
+                ).alias(a.name)
+            )
+    return df.select(*out)

@@ -536,7 +536,9 @@ class LakeTable:
             op = m["summary"].get("operation", "")
             if op.startswith("merge-mor"):
                 dirs.extend(d for dl in m["summary"]["lineage"].values() for d in dl)
-            elif op in ("create", "compact"):
+            elif op in ("create", "compact", "rebucket"):
+                # full-bucket rewrites, not change sets — each merge's
+                # lineage still records its own change dirs
                 pass
             else:
                 raise ValueError(
@@ -603,8 +605,15 @@ class LakeTable:
             pred = one if pred is None else (pred | one)
         return df.filter(pred) if pred is not None else df.limit(0)
 
-    def buckets_for_keys(self, keys_df: DataFrame) -> list[int]:
-        meta = self.metadata()
+    def buckets_for_keys(
+        self, keys_df: DataFrame, version: int | None = None
+    ) -> list[int]:
+        """Bucket ids the given keys hash to.  Pass ``version`` when the
+        list will prune a time-travel ``read(version=...)``: a
+        :meth:`rebucket` between that version and the head changes the
+        bucket count, and ids computed under the new layout would prune
+        the WRONG dirs of the old one."""
+        meta = self.metadata(version)
         b = self._bucket_expr(meta["key_columns"], meta["num_buckets"])
         return [
             r[0] for r in keys_df.select(b.alias("b")).distinct().collect()
@@ -967,6 +976,75 @@ class LakeTable:
         )
         self._buckets_cache[new_version] = buckets
         return {"skipped": False, "version": new_version, "compacted": len(todo)}
+
+    def rebucket(self, new_num_buckets: int) -> dict[str, Any]:
+        """Bucket-count evolution: rewrite the table into a new bucket
+        layout in one commit (Iceberg partition-spec-evolution analog,
+        restricted to the hash-bucket width).
+
+        Why it exists at scale: the bucket count fixed at CREATE becomes
+        wrong after 100× growth — too few buckets means multi-GB bucket
+        files (long merge tasks, coarse point reads), too many means
+        file-count bloat at small sizes.  This lets an operator widen
+        (or narrow) the layout without re-bootstrapping consumers:
+
+        - the commit is a FULL rewrite (O(table) — an offline/rare
+          maintenance op, like a full compact) that folds LWW and keeps
+          tombstones (they remain the out-of-order replay evidence);
+        - downstream changelog consumers are unaffected: ``rebucket`` is
+          pass-through in :meth:`read_changes` (it rewrites buckets, it
+          changes no rows), so derived tables / aggregate views keep
+          refreshing across it;
+        - later merges, compactions and point reads pick up the new
+          count from the head metadata automatically; time-travel reads
+          of OLDER versions keep the old layout (pass ``version`` to
+          :meth:`buckets_for_keys` when pruning those).
+        """
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        meta = self.metadata()
+        if new_num_buckets == meta["num_buckets"]:
+            return {"skipped": True, "reason": "bucket count unchanged"}
+        schema = T.StructType.fromJson(meta["schema"])
+        key_cols = meta["key_columns"]
+        current = self.buckets_map(meta["version"])
+        new_version = meta["version"] + 1
+        rel_dir = self._next_data_dir(new_version)
+        all_dirs = [d for dl in current.values() for d in dl]
+        df = self._read_dirs(all_dirs, schema, with_gen=True)
+        folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN, SDC_GEN))
+        folded = folded.withColumn(
+            _BUCKET, self._bucket_expr(key_cols, new_num_buckets)
+        )
+        written = self._write_bucketed(
+            folded, rel_dir, new_num_buckets, sort_keys=key_cols
+        )
+        base = {k: v for k, v in meta.items() if k not in ("buckets", "buckets_delta")}
+        self._write_metadata(
+            {
+                **base,
+                "version": new_version,
+                "num_buckets": new_num_buckets,
+                # full map, never a delta: the rewrite invalidates every
+                # old bucket id, so delta manifests cannot express it
+                "buckets": {b: list(dl) for b, dl in written.items()},
+                "summary": {
+                    "operation": "rebucket",
+                    "from_buckets": meta["num_buckets"],
+                    "to_buckets": new_num_buckets,
+                },
+                "parent": meta["version"],
+            },
+            expect_parent=meta["version"],
+        )
+        self._buckets_cache[new_version] = {
+            b: list(dl) for b, dl in written.items()
+        }
+        return {
+            "skipped": False,
+            "version": new_version,
+            "num_buckets": new_num_buckets,
+        }
 
     def expire_versions(self, keep_last: int = 10) -> dict[str, Any]:
         """Snapshot retention (the Iceberg ``expire_snapshots`` analog):

@@ -102,6 +102,7 @@ class CdcPipeline:
         retention_keep_last: int | None = None,
         concurrent_merges: int = 1,
         txn_boundary_dir: str | None = None,
+        snapshots_dir: str | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -146,6 +147,18 @@ class CdcPipeline:
             if txn_boundary_dir is not None
             else None
         )
+        # cross-table consistent read point: when set, every applied
+        # epoch publishes a pipeline snapshot manifest AFTER all tables'
+        # merges + maintenance land, so multi-table readers resolve every
+        # table at one epoch boundary (see lake/snapshots.py)
+        if snapshots_dir is not None:
+            from ..lake.snapshots import PipelineSnapshots
+
+            self.snapshots: PipelineSnapshots | None = PipelineSnapshots(
+                spark, snapshots_dir
+            )
+        else:
+            self.snapshots = None
         self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
@@ -508,13 +521,22 @@ class CdcPipeline:
                 self.state.flush()
 
             self._write_metrics(epoch_id, batch_time, metrics_rows, results)
-            return {
+            out: dict[str, Any] = {
                 "epoch_id": epoch_id,
                 "max_lsn_seen": max_lsn_seen,
                 "metrics": metrics_rows,
                 "streams": results,
                 "dead_letter": dead_letter,
             }
+            if self.snapshots is not None:
+                # publish after every table's merge + maintenance: a
+                # crash before this line leaves readers on the previous
+                # epoch's manifest (still consistent); the replayed epoch
+                # no-ops the committed merges and publishes then
+                out["snapshot"] = self.snapshots.publish(
+                    epoch_id, self.tables
+                )
+            return out
         finally:
             if cache:
                 classified.unpersist()
