@@ -15,9 +15,10 @@ Mechanism (all distributive-aggregate delta math, no recompute):
    LATEST image of every key touched in the range, tombstones included.
 2. The OLD image of exactly those keys, from the base snapshot at
    ``from_v`` — a bucket-pruned point read (``buckets_for_keys`` +
-   broadcast ``LEFT SEMI``), so it scans only the touched buckets and
-   ships only the changed-key set (the same large-key-set strategy as
-   :meth:`LakeTable.read_keys`).
+   broadcast ``LEFT SEMI`` applied BELOW the LWW fold via
+   ``read(semi_keys=...)``), so it scans only the touched buckets,
+   ships only the changed-key set, and folds only the matching rows
+   (the same large-key-set strategy as :meth:`LakeTable.read_keys`).
 3. Per group: ``delta = contrib(new live images) − contrib(old
    images)``.  A key whose group column changed subtracts from the old
    group and adds to the new one; an insert has no old image; a delete
@@ -184,13 +185,6 @@ def _nullsafe_outer_combine(
     )
 
 
-def _nullsafe_semi(left: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
-    cond = functools.reduce(
-        operator.and_, [left[g].eqNullSafe(keys[g]) for g in on]
-    )
-    return left.join(F.broadcast(keys), cond, "left_semi")
-
-
 def _validate(base: LakeTable, group_cols: list[str], aggs: list[Agg]) -> None:
     cols = set(base.schema.fieldNames())
     for g in group_cols:
@@ -268,14 +262,14 @@ def refresh_aggregate_view(
     # the changed keys — only the touched buckets are scanned and only
     # the key set ships (read_keys' large-set strategy; read_keys itself
     # reads the HEAD, this needs the from_v snapshot)
-    old = (
-        base.read(
-            version=from_v,
-            # bucket ids computed under from_v's layout: a rebucket
-            # between from_v and the head changes the bucket count
-            buckets=base.buckets_for_keys(changed_keys, version=from_v),
-        )
-        .join(F.broadcast(changed_keys), key_cols, "left_semi")
+    old = base.read(
+        version=from_v,
+        # bucket ids computed under from_v's layout: a rebucket
+        # between from_v and the head changes the bucket count
+        buckets=base.buckets_for_keys(changed_keys, version=from_v),
+        # semi filter BELOW the LWW fold: fold work stays O(changed
+        # keys' rows), not O(pruned buckets)
+        semi_keys=changed_keys,
     )
     new_live = changed.filter(F.col(SDC_DELETED_AT).isNull())
 
@@ -293,8 +287,8 @@ def refresh_aggregate_view(
         )
     )
     touched = delta.select(*group_cols).distinct()
-    current = _nullsafe_semi(
-        view.read(buckets=view.buckets_for_keys(touched)), touched, group_cols
+    current = view.read(
+        buckets=view.buckets_for_keys(touched), semi_keys=touched
     ).select(*group_cols, *store)
     merged = _nullsafe_outer_combine(
         current, delta, group_cols, store, operator.add

@@ -467,6 +467,7 @@ class LakeTable:
         include_tombstones: bool = False,
         as_of: datetime | str | None = None,
         as_of_lsn: int | None = None,
+        semi_keys: DataFrame | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -477,6 +478,16 @@ class LakeTable:
         Time travel: by ``version`` number, by commit timestamp with
         ``as_of`` (:meth:`version_as_of`), or by WAL position with
         ``as_of_lsn`` (:meth:`version_for_lsn`).
+
+        ``semi_keys`` (a DataFrame carrying the key columns) filters to
+        those keys with a broadcast LEFT SEMI applied to the raw scan
+        BELOW the LWW fold — correct because a filter on the full
+        grouping key commutes with a per-key fold, and essential at
+        scale: Catalyst does not push a semi join under the ``max_by``
+        aggregate, so joining after ``read()`` folds every scanned
+        bucket's rows only to discard most groups.  NULL-safe equality,
+        so it composes with key columns that permit NULL (aggregate
+        views' group keys).
         """
         if sum(x is not None for x in (version, as_of, as_of_lsn)) > 1:
             raise ValueError("pass at most one of version / as_of / as_of_lsn")
@@ -492,6 +503,15 @@ class LakeTable:
         )
         dirs = [d for b, dl in bmap.items() if b in sel for d in dl]
         df = self._read_dirs(dirs, schema, with_gen=True)
+        if semi_keys is not None:
+            key_cols = meta["key_columns"]
+            kdf = semi_keys.select(*key_cols).distinct().alias("__sk")
+            scan = df.alias("__t")
+            cond = None
+            for c in key_cols:
+                one = F.col(f"__t.{c}").eqNullSafe(F.col(f"__sk.{c}"))
+                cond = one if cond is None else (cond & one)
+            df = scan.join(F.broadcast(kdf), cond, "left_semi")
         if SDC_LSN in df.columns:
             df = fold_last_writer_wins_agg(
                 df, meta["key_columns"], (SDC_LSN, SDC_GEN)
@@ -584,18 +604,20 @@ class LakeTable:
           keys): NO row collect and no predicate tree.  Bucket pruning
           still applies (the distinct-bucket list is bounded by
           ``num_buckets``, never by the key count), then a broadcast
-          LEFT SEMI join filters the pruned scan.  At 10^6 lookup keys
-          against 10^10 rows this reads only the touched buckets and
-          ships only the key set — the OR-chain alternative would build
-          a 10^6-term predicate the optimizer cannot even analyze.
+          LEFT SEMI join filters the pruned scan BELOW the LWW fold
+          (``read(semi_keys=...)``) — fold work is O(matching rows),
+          not O(pruned buckets).  At 10^6 lookup keys against 10^10
+          rows this reads only the touched buckets and ships only the
+          key set — the OR-chain alternative would build a 10^6-term
+          predicate the optimizer cannot even analyze.
         """
         keys = self.key_columns
         kdf = keys_df.select(*keys).distinct()
         probe = kdf.limit(pushdown_limit + 1).collect()
         bks = self.buckets_for_keys(kdf)
-        df = self.read(buckets=bks)
         if len(probe) > pushdown_limit:
-            return df.join(F.broadcast(kdf), keys, "left_semi")
+            return self.read(buckets=bks, semi_keys=kdf)
+        df = self.read(buckets=bks)
         pred = None
         for r in probe:
             one = None

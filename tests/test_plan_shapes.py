@@ -100,3 +100,45 @@ def test_neardup_blocking_plans_have_no_cartesian_product(spark):
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_semi_keys_filter_sits_below_lww_fold(spark, tmp_path):
+    """read(semi_keys=) must apply the broadcast LEFT SEMI to the RAW
+    scan, under the max_by fold — Catalyst does not push a semi join
+    below the aggregate itself, and folding whole buckets only to
+    discard most groups is O(pruned buckets) instead of O(matches).
+    In the plan's tree text, deeper operators print LATER, so the join
+    must appear after the aggregate lines."""
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("x", T.LongType(), True),
+            ]
+        )
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], num_buckets=4)
+    t.merge_into(
+        spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("x"),
+            (F.col("id") + 10).alias("_sdc_lsn"),
+            F.lit(None).cast("string").alias("_sdc_deleted_at"),
+        ),
+        epoch_id="e1",
+    )
+    keys = spark.range(5).select((F.col("id") * 97).alias("k"))
+    for df in (
+        t.read(semi_keys=keys),
+        t.read_keys(keys, pushdown_limit=2),  # large-key-set strategy
+    ):
+        plan = _plan(df)
+        assert "LeftSemi" in plan, plan
+        agg_at = plan.index("max_by")
+        join_at = plan.index("LeftSemi")
+        assert join_at > agg_at, plan
