@@ -35,12 +35,15 @@ Mechanism (all distributive-aggregate delta math, no recompute):
 
 Supported aggregates — the self-maintainable (distributive) family:
 ``count`` (live rows), ``count_col`` (non-NULL values), ``sum``,
-``avg`` (maintained as sum + non-NULL count).  ``min``/``max`` are
-deliberately rejected: they are not retractable — deleting the current
-minimum forces a recompute of that group, and the base table is
-bucketed by ITS keys, not by the view's group columns, so that
-recompute is an O(|table|) scan.  A view that needs them should be
-declared over a base keyed (or derived-table-projected) by the group.
+``avg`` (maintained as sum + non-NULL count), plus **insert-monotone**
+``min``/``max``.  The extrema are not retractable — deleting or
+updating the current minimum would force an O(group) recompute against
+a base bucketed by ITS keys, not the view's groups — so a refresh
+carrying them first proves the range is pure-insert (the changed keys
+have NO old images at the from-version; one tiny guarded action) and
+raises otherwise.  That makes them safe exactly where they are wanted:
+append-only event/fact tables.  For churned bases, declare the view
+over a derived table keyed by the group instead.
 
 SQL NULL semantics are preserved: each ``sum``/``avg`` also maintains
 its non-NULL input count, and :func:`read_aggregate_view` renders the
@@ -76,7 +79,8 @@ from .table import LakeTable
 _EPOCH_PREFIX = "aggview-from-base-v"
 _CNT = "__cnt"  # live-row count: liveness witness, always maintained
 
-_KINDS = ("count", "count_col", "sum", "avg")
+_KINDS = ("count", "count_col", "sum", "avg", "min", "max")
+_EXTREMAL = ("min", "max")
 
 
 @dataclass(frozen=True)
@@ -84,9 +88,16 @@ class Agg:
     """One aggregate column of the view.
 
     ``kind``: ``count`` (live rows; ``col`` ignored), ``count_col``
-    (non-NULL values of ``col``), ``sum``, ``avg``.
+    (non-NULL values of ``col``), ``sum``, ``avg``, ``min``, ``max``.
     ``name``: the output column (must be unique, and distinct from the
     group columns).
+
+    ``min``/``max`` are insert-monotone, not retractable: a refresh
+    range that touches EXISTING keys (updates or deletes — i.e. the
+    changed keys have old images at the from-version) raises instead of
+    committing a possibly-stale extremum.  Use them on append-only
+    bases (event/fact tables); for churned bases, declare the view over
+    a derived table keyed by the group instead.
     """
 
     kind: str
@@ -96,9 +107,7 @@ class Agg:
     def __post_init__(self) -> None:
         if self.kind not in _KINDS:
             raise ValueError(
-                f"unsupported aggregate kind {self.kind!r}; supported: "
-                f"{_KINDS} (min/max are not retractable — see module "
-                "docstring)"
+                f"unsupported aggregate kind {self.kind!r}; supported: {_KINDS}"
             )
         if self.kind != "count" and not self.col:
             raise ValueError(f"{self.kind} needs an input column")
@@ -108,7 +117,8 @@ def _storage_cols(aggs: list[Agg]) -> list[tuple[str, str]]:
     """(storage column, contribution kind) pairs, deduplicated.
 
     Contribution kinds: ``rows`` (count of rows), ``nn:<col>`` (count of
-    non-NULL <col>), ``sum:<col>`` (NULL-skipping sum of <col>).
+    non-NULL <col>), ``sum:<col>`` (NULL-skipping sum), ``min:<col>`` /
+    ``max:<col>`` (insert-monotone extrema).
     """
     out: list[tuple[str, str]] = [(_CNT, "rows")]
     for a in aggs:
@@ -116,12 +126,11 @@ def _storage_cols(aggs: list[Agg]) -> list[tuple[str, str]]:
             continue  # rendered from _CNT
         if a.kind == "count_col":
             out.append((a.name, f"nn:{a.col}"))
-        elif a.kind == "sum":
+        elif a.kind in ("sum", "avg"):
             out.append((f"__s_{a.name}", f"sum:{a.col}"))
             out.append((f"__n_{a.name}", f"nn:{a.col}"))
-        elif a.kind == "avg":
-            out.append((f"__s_{a.name}", f"sum:{a.col}"))
-            out.append((f"__n_{a.name}", f"nn:{a.col}"))
+        elif a.kind in _EXTREMAL:
+            out.append((a.name, f"{a.kind}:{a.col}"))
     seen: set[str] = set()
     dedup = []
     for name, contrib in out:
@@ -141,6 +150,10 @@ def _contrib_exprs(aggs: list[Agg]) -> list:
             exprs.append(F.count(F.lit(1)).alias(name))
         elif contrib.startswith("nn:"):
             exprs.append(F.count(F.col(contrib[3:])).alias(name))
+        elif contrib.startswith("min:"):
+            exprs.append(F.min(contrib[4:]).alias(name))
+        elif contrib.startswith("max:"):
+            exprs.append(F.max(contrib[4:]).alias(name))
         else:  # sum:<col> — coalesced so delta arithmetic never sees NULL
             exprs.append(
                 F.coalesce(F.sum(contrib[4:]), F.lit(0)).alias(name)
@@ -148,19 +161,43 @@ def _contrib_exprs(aggs: list[Agg]) -> list:
     return exprs
 
 
+def _is_extremal(contrib: str) -> bool:
+    return contrib.startswith(("min:", "max:"))
+
+
+def _sub0(l, r):  # additive delta: NULLs are absent contributions
+    return F.coalesce(l, F.lit(0)) - F.coalesce(r, F.lit(0))
+
+
+def _add0(l, r):
+    return F.coalesce(l, F.lit(0)) + F.coalesce(r, F.lit(0))
+
+
+def _take_left(l, _r):  # extremal delta: the minus side is provably empty
+    return l
+
+
+def _nullskip_extreme(fn):
+    def _c(l, r):
+        return F.when(l.isNull(), r).when(r.isNull(), l).otherwise(fn(l, r))
+
+    return _c
+
+
 def _nullsafe_outer_combine(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
-    cols: list[str],
-    combine,
+    combiners: "list[tuple[str, Any]]",
 ) -> DataFrame:
     """Full-outer join on ``on`` with NULL-safe equality (a NULL group
     value — e.g. an un-tagged ``lang`` — is one group, exactly as
     ``GROUP BY`` treats it; a plain join condition would split it into
     two rows that the view's keyed merge would then collapse
-    arbitrarily), combining each of ``cols`` via ``combine(l, r)`` with
-    NULLs coalesced to 0."""
+    arbitrarily).  ``combiners``: (column, combine(l, r)) per storage
+    column — additive columns coalesce NULL to 0 inside their combiner,
+    extremal ones skip NULLs instead (0 is a legitimate extremum)."""
+    cols = [c for c, _ in combiners]
     # dataset aliases, not DataFrame column refs: the two sides may
     # share plan lineage (delta feeds the view point read that becomes
     # the other side), which makes df[col] references ambiguous
@@ -176,11 +213,8 @@ def _nullsafe_outer_combine(
             for g in on
         ],
         *[
-            combine(
-                F.coalesce(F.col(f"__l_{c}"), F.lit(0)),
-                F.coalesce(F.col(f"__r_{c}"), F.lit(0)),
-            ).alias(c)
-            for c in cols
+            combine(F.col(f"__l_{c}"), F.col(f"__r_{c}")).alias(c)
+            for c, combine in combiners
         ],
     )
 
@@ -273,17 +307,41 @@ def refresh_aggregate_view(
     )
     new_live = changed.filter(F.col(SDC_DELETED_AT).isNull())
 
+    storage = _storage_cols(aggs)
+    extremal = [(n, c) for n, c in storage if _is_extremal(c)]
+    if extremal:
+        # min/max are insert-monotone only: any changed key with an old
+        # image (an update or delete of an existing row) could retract
+        # the current extremum, which a delta refresh cannot express —
+        # fail loudly instead of committing a possibly-stale view
+        if old.limit(1).count() > 0:
+            raise ValueError(
+                "refresh range touches existing keys, which min/max "
+                f"aggregates ({[n for n, _ in extremal]}) cannot "
+                "retract; re-bootstrap the view or drop the extremal "
+                "aggregates (Agg docstring has the rationale)"
+            )
     exprs = _contrib_exprs(aggs)
-    store = [name for name, _ in _storage_cols(aggs)]
+    store = [n for n, _ in storage]
     plus = new_live.groupBy(*group_cols).agg(*exprs)
     minus = old.groupBy(*group_cols).agg(*exprs)
     delta = _nullsafe_outer_combine(
-        plus, minus, group_cols, store, operator.sub
+        plus,
+        minus,
+        group_cols,
+        [(n, _take_left if _is_extremal(c) else _sub0) for n, c in storage],
     ).filter(
         # an update that left the group and every input unchanged
-        # contributes nothing — drop it before the view point read
+        # contributes nothing — drop it before the view point read.
+        # __cnt's delta covers the extremal columns: an insert-only
+        # range (the only legal one for min/max) always bumps it
         functools.reduce(
-            operator.or_, [F.abs(F.col(c)) > 0 for c in store]
+            operator.or_,
+            [
+                F.abs(F.col(n)) > 0
+                for n, c in storage
+                if not _is_extremal(c)
+            ],
         )
     )
     touched = delta.select(*group_cols).distinct()
@@ -291,7 +349,18 @@ def refresh_aggregate_view(
         buckets=view.buckets_for_keys(touched), semi_keys=touched
     ).select(*group_cols, *store)
     merged = _nullsafe_outer_combine(
-        current, delta, group_cols, store, operator.add
+        current,
+        delta,
+        group_cols,
+        [
+            (
+                n,
+                _nullskip_extreme(F.least if c.startswith("min:") else F.greatest)
+                if _is_extremal(c)
+                else _add0,
+            )
+            for n, c in storage
+        ],
     )
     dead = F.col(_CNT) <= 0
     batch = merged.select(
@@ -322,7 +391,7 @@ def read_aggregate_view(view: LakeTable, aggs: list[Agg]) -> DataFrame:
     for a in aggs:
         if a.kind == "count":
             out.append(F.col(_CNT).alias(a.name))
-        elif a.kind == "count_col":
+        elif a.kind in ("count_col", *_EXTREMAL):
             out.append(F.col(a.name))
         elif a.kind == "sum":
             out.append(

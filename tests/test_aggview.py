@@ -172,11 +172,68 @@ def test_group_death_and_resurrection(spark, tmp_path):
     assert _view_rows(view) == _oracle(base)
 
 
-def test_minmax_rejected():
-    with pytest.raises(ValueError, match="not retractable"):
-        Agg("min", "x", "mn")
-    with pytest.raises(ValueError, match="not retractable"):
-        Agg("max", "x", "mx")
+MINMAX_AGGS = [
+    Agg("count", None, "n"),
+    Agg("min", "x", "mn"),
+    Agg("max", "x", "mx"),
+]
+
+
+def _minmax_oracle(base):
+    return {
+        tuple(r)
+        for r in base.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def test_minmax_on_append_only_base(spark, tmp_path):
+    """Insert-monotone extrema: new keys only → refresh matches a full
+    recompute, including all-NULL input groups and fresh groups."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
+    base.merge_into(
+        _batch(spark, [(1, "a", 3.0, 0), (2, "a", 1.0, 0), (3, "b", None, 0)], 100),
+        epoch_id="e1",
+    )
+    view = bootstrap_aggregate_view(
+        spark, base, str(tmp_path / "v"), ["g"], MINMAX_AGGS
+    )
+    base.merge_into(
+        _batch(
+            spark,
+            [(4, "a", 0.5, 0), (5, "b", 9.0, 0), (6, "c", -2.0, 0), (7, "b", None, 0)],
+            200,
+        ),
+        epoch_id="e2",
+    )
+    res = refresh_aggregate_view(base, view, MINMAX_AGGS)
+    assert not res["skipped"]
+    got = _round(read_aggregate_view(view, MINMAX_AGGS).collect())
+    assert got == _round(_minmax_oracle(base))
+
+
+def test_minmax_refresh_raises_on_churn(spark, tmp_path):
+    """A refresh range that updates or deletes EXISTING keys cannot
+    retract an extremum — it must raise, not commit a stale view."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
+    base.merge_into(_batch(spark, [(1, "a", 3.0, 0)], 100), epoch_id="e1")
+    view = bootstrap_aggregate_view(
+        spark, base, str(tmp_path / "v"), ["g"], MINMAX_AGGS
+    )
+    base.merge_into(_batch(spark, [(1, "a", 99.0, 0)], 200), epoch_id="e2")
+    with pytest.raises(ValueError, match="cannot\\s+retract"):
+        refresh_aggregate_view(base, view, MINMAX_AGGS)
+
+
+def test_unknown_kind_rejected():
+    with pytest.raises(ValueError, match="unsupported aggregate kind"):
+        Agg("median", "x", "md")
 
 
 def test_refresh_range_below_retention_floor_raises(spark, tmp_path):
