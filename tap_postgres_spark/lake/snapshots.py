@@ -113,6 +113,22 @@ class PipelineSnapshots:
         )
         return [self.manifest(s) for s in seqs]
 
+    def expire(self, keep_last: int = 100) -> dict[str, Any]:
+        """Drop manifests older than the newest ``keep_last`` (the
+        latest pointer is never dropped).  Pair with the tables' own
+        ``expire_versions`` — a manifest is only useful while every
+        version it pins is still readable, so keep the two horizons
+        aligned (snapshot ``keep_last`` ≤ table retention)."""
+        seqs = sorted(
+            int(n[1:9])
+            for n in os.listdir(self.path)
+            if n.startswith("s") and n.endswith(".json")
+        )
+        drop = seqs[:-keep_last] if keep_last > 0 else seqs[:-1]
+        for s in drop:
+            os.remove(os.path.join(self.path, f"s{s:08d}.json"))
+        return {"dropped": len(drop), "kept": len(seqs) - len(drop)}
+
     def read(
         self, fqn: str, *, seq: int | None = None, **read_kwargs: Any
     ) -> DataFrame:

@@ -248,3 +248,19 @@ def test_refresh_range_below_retention_floor_raises(spark, tmp_path):
     base.expire_versions(keep_last=2)
     with pytest.raises(ValueError, match="retention floor"):
         refresh_aggregate_view(base, view, AGGS)
+
+
+def test_view_self_compaction_between_refreshes(spark, tmp_path):
+    """Compacting the VIEW table between refreshes (the maintenance the
+    submit job runs on a depth trigger) must not disturb delta math."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
+    base.merge_into(_batch(spark, [(k, "a" if k % 2 else "b", 1.0, 0) for k in range(8)], 100), epoch_id="e1")
+    view = bootstrap_aggregate_view(spark, base, str(tmp_path / "v"), ["g"], AGGS)
+    for i in range(3):
+        base.merge_into(
+            _batch(spark, [(10 + i, "a", 2.0 + i, 0), (i, None, None, 1)], 200 + 10 * i),
+            epoch_id=f"e{i+2}",
+        )
+        refresh_aggregate_view(base, view, AGGS)
+        view.compact()
+        assert _view_rows(view) == _oracle(base)

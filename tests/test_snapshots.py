@@ -154,3 +154,17 @@ def test_pipeline_publishes_per_epoch(spark, tmp_path):
     # replaying an applied epoch must not mint a new snapshot
     r2b = pipe.apply_batch(raw([(3, "ta", 2, 7), (4, "tb", 2, 7)]), epoch_id="b2")
     assert r2b["snapshot"]["skipped"] and r2b["snapshot"]["seq"] == 2
+
+
+def test_expire_keeps_latest(spark, tmp_path):
+    a = LakeTable.create(spark, str(tmp_path / "a"), SCHEMA, ["k"], num_buckets=4)
+    snaps = PipelineSnapshots(spark, str(tmp_path / "snaps"))
+    for i in range(5):
+        a.merge_into(_batch(spark, [(i, i)], 100 + i), epoch_id=f"e{i}")
+        snaps.publish(f"e{i}", {"t": a})
+    res = snaps.expire(keep_last=2)
+    assert res == {"dropped": 3, "kept": 2}
+    assert [m["seq"] for m in snaps.history()] == [4, 5]
+    assert snaps.latest()["epoch_id"] == "e4"
+    with pytest.raises(FileNotFoundError):
+        snaps.manifest(1)

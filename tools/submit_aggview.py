@@ -55,10 +55,16 @@ def main() -> None:
         aggs = [Agg("count", None, "n_rows"), Agg("sum", "size_bytes", "sum_size")]
     else:
         aggs = [Agg("count", None, "n_rows")]
+    compacted = False
     if LakeTable.exists(view_dir):
         view = LakeTable(spark, view_dir)
         res = refresh_aggregate_view(base, view, aggs)
         mode = "refresh"
+        # each refresh appends one delta dir per touched bucket; tiered
+        # compaction on a depth trigger keeps the view's merge-on-read
+        # amplification bounded, same policy as the ingest pipeline
+        if view.delta_depth() > 12:
+            compacted = not view.compact(include_base=False).get("skipped")
     else:
         view = bootstrap_aggregate_view(spark, base, view_dir, group_cols, aggs)
         res = {"skipped": False}
@@ -75,6 +81,7 @@ def main() -> None:
                 ),
                 "view_version": view.current_version(),
                 "skipped": bool(res.get("skipped")),
+                "compacted": compacted,
                 "view_groups": view.read().count(),
             }
         )
