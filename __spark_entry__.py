@@ -331,7 +331,9 @@ def q_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         Agg("count_col", "value", "n_values"),
     ]
     d = tempfile.mkdtemp(prefix="tps-aggview-")
-    base = LakeTable.create(spark, f"{d}/base", schema, ["user_id"], num_buckets=8)
+    # 4 buckets: this drill is commit-count-bound at test scale (6 table
+    # commits), so bucket width sets the per-commit task/file count
+    base = LakeTable.create(spark, f"{d}/base", schema, ["user_id"], num_buckets=4)
     base.merge_into(as_batch(ev.filter(F.col("event_id") <= h)), epoch_id="a1")
     view = bootstrap_aggregate_view(spark, base, f"{d}/view", ["etype"], aggs)
     base.merge_into(as_batch(ev.filter(F.col("event_id") > h)), epoch_id="a2")
