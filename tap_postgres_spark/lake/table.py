@@ -8,7 +8,10 @@ scratch on parquet + atomic metadata pointers:
   atomically swaps ``metadata/_current`` (tmp + ``os.replace``).  Old
   versions remain readable (time travel).
 - **Hash-bucket layout** — rows live in ``num_buckets`` buckets keyed by
-  ``xxhash64(key columns)``.  Bucketing on the FULL key ``(repo, path)``
+  a hash of the key columns (murmur3 for new tables — chosen because its
+  bucket ids coincide with Spark's HashPartitioning ids, letting merge
+  writes reuse the fold's shuffle; xxhash64 on pre-existing tables).
+  Bucketing on the FULL key ``(repo, path)``
   spreads hot repos structurally (a repo with 10^7 paths lands evenly
   across all buckets), and lets both merges and key-predicate reads prune
   to touched buckets only.
@@ -189,6 +192,12 @@ class LakeTable:
             "schema": json.loads(schema.json()),
             "key_columns": list(key_columns),
             "num_buckets": int(num_buckets),
+            # murmur3 bucket ids EQUAL Spark's HashPartitioning partition
+            # ids (pmod(murmur3(keys), n)), so a fold exchange on the key
+            # columns already lays rows out by bucket and the write can
+            # skip its own shuffle (see _write_bucketed aligned=).  Tables
+            # created before this key default to "xxhash64" on read.
+            "bucket_fn": "murmur3",
             # bucket id (str) -> list of data dirs (relative), LWW-merged on read
             "buckets": {},
             "committed_epochs": {},
@@ -371,10 +380,65 @@ class LakeTable:
         return out
 
     # ---------------------------------------------------------------- reads
-    def _bucket_expr(self, key_columns: Sequence[str], num_buckets: int):
-        return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast(
-            "int"
-        )
+    def _bucket_expr(
+        self,
+        key_columns: Sequence[str],
+        num_buckets: int,
+        fn: str = "xxhash64",
+    ):
+        cols = [F.col(c) for c in key_columns]
+        h = F.hash(*cols) if fn == "murmur3" else F.xxhash64(*cols)
+        return F.pmod(h, F.lit(num_buckets)).cast("int")
+
+    def _bucket_fn(self, meta: dict[str, Any]) -> str:
+        return meta.get("bucket_fn", "xxhash64")
+
+    def _write_aligned(
+        self,
+        meta: dict[str, Any],
+        num_buckets: int,
+        df: DataFrame | None = None,
+    ) -> bool:
+        """True when the relation to write is ALREADY partitioned by
+        bucket: murmur3 bucket ids are exactly Spark's HashPartitioning
+        ids when the plan's output partitioning is
+        ``hashpartitioning(<key columns>, num_buckets)``, so the write's
+        own repartition would shuffle the full (content-heavy) folded
+        batch a second time only to reproduce the layout it has.
+
+        The static gate (fn + width) is necessary but NOT sufficient —
+        the planner may elide the fold's exchange entirely (e.g. Spark's
+        distinct-keys propagation on synthetic inputs proves the keys
+        unique, so ANY partitioning is clustered-by-key), so when ``df``
+        is given its actual output partitioning is verified.  AQE
+        coalescing afterwards only ever MERGES whole partitions, which
+        keeps each bucket inside one task.  Misdetection is never a
+        correctness risk — ``partitionBy`` routes rows by VALUE — only a
+        file-count one."""
+        if self._bucket_fn(meta) != "murmur3":
+            return False
+        try:
+            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return False
+        if width != int(num_buckets):
+            return False
+        if df is None:
+            return True
+        try:
+            part = (
+                df._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+            )
+        except Exception:
+            return False
+        if not (part.startswith("hashpartitioning(") and part.endswith(")")):
+            return False
+        inner = part[len("hashpartitioning("):-1]
+        segs = [x.strip() for x in inner.split(",")]
+        if not segs or segs[-1] != str(int(num_buckets)):
+            return False
+        names = [x.split("#")[0] for x in segs[:-1]]
+        return names == list(meta["key_columns"])
 
     def _read_dirs(
         self, dirs: list[str], schema: T.StructType, *, with_gen: bool = False
@@ -636,7 +700,9 @@ class LakeTable:
         bucket count, and ids computed under the new layout would prune
         the WRONG dirs of the old one."""
         meta = self.metadata(version)
-        b = self._bucket_expr(meta["key_columns"], meta["num_buckets"])
+        b = self._bucket_expr(
+            meta["key_columns"], meta["num_buckets"], self._bucket_fn(meta)
+        )
         return [
             r[0] for r in keys_df.select(b.alias("b")).distinct().collect()
         ]
@@ -648,6 +714,7 @@ class LakeTable:
     def _write_bucketed(
         self, df: DataFrame, rel_dir: str, num_buckets: int,
         sort_keys: Sequence[str] | None = None,
+        aligned: bool = False,
     ) -> dict[str, list[str]]:
         """Write ``df`` (which carries ``_bucket``) partitioned by bucket.
         Returns {bucket: [rel_dir/…]} for the buckets actually written.
@@ -670,7 +737,14 @@ class LakeTable:
         anyway).
         """
         out_abs = os.path.join(self.path, rel_dir)
-        shaped = df.repartition(num_buckets, F.col(_BUCKET))
+        # aligned=True (see _write_aligned): the relation was just folded
+        # by groupBy(key_cols) with exchange width == num_buckets and a
+        # murmur3 bucket fn, so each shuffle partition already holds
+        # exactly one bucket — the repartition would re-shuffle the full
+        # folded batch (content strings included) only to reproduce the
+        # layout it already has.  partitionBy routes by VALUE either way,
+        # so alignment affects file counts, never row placement.
+        shaped = df if aligned else df.repartition(num_buckets, F.col(_BUCKET))
         if sort_keys:
             shaped = shaped.sortWithinPartitions(*sort_keys)
         (
@@ -720,7 +794,8 @@ class LakeTable:
             F.lit(new_version).cast("long").alias(SDC_GEN),
         )
         bucketed = aligned.withColumn(
-            _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
+            _BUCKET,
+            self._bucket_expr(key_cols, meta["num_buckets"], self._bucket_fn(meta)),
         )
         return bucketed, new_schema
 
@@ -781,7 +856,15 @@ class LakeTable:
 
         current = self.buckets_map(meta["version"])
         if mode == "mor":
-            written = self._write_bucketed(bucketed, rel_dir, meta["num_buckets"])
+            written = self._write_bucketed(
+                bucketed,
+                rel_dir,
+                meta["num_buckets"],
+                aligned=(
+                    fold == "agg"
+                    and self._write_aligned(meta, meta["num_buckets"], bucketed)
+                ),
+            )
             buckets = {b: list(dl) for b, dl in current.items()}
             for b, dl in written.items():
                 buckets.setdefault(b, [])
@@ -797,7 +880,10 @@ class LakeTable:
             ]
             target = self._read_dirs(target_dirs, new_schema, with_gen=True)
             target = target.withColumn(
-                _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
+                _BUCKET,
+                self._bucket_expr(
+                    key_cols, meta["num_buckets"], self._bucket_fn(meta)
+                ),
             )
             # fold target base+deltas TOGETHER with the batch under
             # LWW-by-(lsn, gen): the batch does NOT win unconditionally,
@@ -814,7 +900,12 @@ class LakeTable:
                         F.col(SDC_DELETED_AT).isNull()
                         | (F.col(SDC_LSN) >= F.lit(int(drop_tombstones_below)))
                     )
-            written = self._write_bucketed(merged, rel_dir, meta["num_buckets"])
+            written = self._write_bucketed(
+                merged,
+                rel_dir,
+                meta["num_buckets"],
+                aligned=self._write_aligned(meta, meta["num_buckets"], merged),
+            )
             buckets = {
                 b: list(dl) for b, dl in current.items() if b not in touched
             }
@@ -964,10 +1055,12 @@ class LakeTable:
                 | (F.col(SDC_LSN) >= F.lit(int(drop_tombstones_below)))
             )
         folded = folded.withColumn(
-            _BUCKET, self._bucket_expr(key_cols, meta["num_buckets"])
+            _BUCKET,
+            self._bucket_expr(key_cols, meta["num_buckets"], self._bucket_fn(meta)),
         )
         written = self._write_bucketed(
-            folded, rel_dir, meta["num_buckets"], sort_keys=key_cols
+            folded, rel_dir, meta["num_buckets"], sort_keys=key_cols,
+            aligned=self._write_aligned(meta, meta["num_buckets"], folded),
         )
         buckets = {b: list(dl) for b, dl in current.items() if b not in todo}
         for b, dl in todo.items():
@@ -1036,10 +1129,13 @@ class LakeTable:
         df = self._read_dirs(all_dirs, schema, with_gen=True)
         folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN, SDC_GEN))
         folded = folded.withColumn(
-            _BUCKET, self._bucket_expr(key_cols, new_num_buckets)
+            _BUCKET, self._bucket_expr(key_cols, new_num_buckets, "murmur3")
         )
         written = self._write_bucketed(
-            folded, rel_dir, new_num_buckets, sort_keys=key_cols
+            folded, rel_dir, new_num_buckets, sort_keys=key_cols,
+            aligned=self._write_aligned(
+                {**meta, "bucket_fn": "murmur3"}, new_num_buckets, folded
+            ),
         )
         base = {k: v for k, v in meta.items() if k not in ("buckets", "buckets_delta")}
         self._write_metadata(
@@ -1047,6 +1143,9 @@ class LakeTable:
                 **base,
                 "version": new_version,
                 "num_buckets": new_num_buckets,
+                # a rebucket is a full rewrite, so it doubles as the
+                # xxhash64 -> murmur3 bucket-fn migration path
+                "bucket_fn": "murmur3",
                 # full map, never a delta: the rewrite invalidates every
                 # old bucket id, so delta manifests cannot express it
                 "buckets": {b: list(dl) for b, dl in written.items()},
