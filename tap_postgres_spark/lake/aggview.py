@@ -344,34 +344,44 @@ def refresh_aggregate_view(
             ],
         )
     )
-    touched = delta.select(*group_cols).distinct()
-    current = view.read(
-        buckets=view.buckets_for_keys(touched), semi_keys=touched
-    ).select(*group_cols, *store)
-    merged = _nullsafe_outer_combine(
-        current,
-        delta,
-        group_cols,
-        [
-            (
-                n,
-                _nullskip_extreme(F.least if c.startswith("min:") else F.greatest)
-                if _is_extremal(c)
-                else _add0,
-            )
-            for n, c in storage
-        ],
-    )
-    dead = F.col(_CNT) <= 0
-    batch = merged.select(
-        *group_cols,
-        *store,
-        F.lit(to_v).cast("long").alias(SDC_LSN),
-        F.when(dead, F.lit("1970-01-01T00:00:00Z"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias(SDC_DELETED_AT),
-    )
-    summary = view.merge_into(batch, epoch_id=f"{_EPOCH_PREFIX}{to_v}")
+    # the delta subtree contains the changelog scan AND the old-image
+    # point read; it is consumed three times (bucket-id collect, the
+    # view point read's semi side, the merge write) but is only
+    # |touched groups| tiny rows — persist it instead of re-scanning
+    delta = delta.persist()
+    try:
+        touched = delta.select(*group_cols).distinct()
+        current = view.read(
+            buckets=view.buckets_for_keys(touched), semi_keys=touched
+        ).select(*group_cols, *store)
+        merged = _nullsafe_outer_combine(
+            current,
+            delta,
+            group_cols,
+            [
+                (
+                    n,
+                    _nullskip_extreme(
+                        F.least if c.startswith("min:") else F.greatest
+                    )
+                    if _is_extremal(c)
+                    else _add0,
+                )
+                for n, c in storage
+            ],
+        )
+        dead = F.col(_CNT) <= 0
+        batch = merged.select(
+            *group_cols,
+            *store,
+            F.lit(to_v).cast("long").alias(SDC_LSN),
+            F.when(dead, F.lit("1970-01-01T00:00:00Z"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias(SDC_DELETED_AT),
+        )
+        summary = view.merge_into(batch, epoch_id=f"{_EPOCH_PREFIX}{to_v}")
+    finally:
+        delta.unpersist()
     return {
         "skipped": bool(summary.get("skipped")),
         "from_version": from_v,

@@ -148,9 +148,10 @@ class TxnBoundaryBuffer:
           store — both consumers re-scan the raw parquet, which is far
           cheaper than materializing ~batch-size strings into memory
           (the full-batch raw+flag cache was measured at 1.72× plain
-          replay; this shape is 1.50×, and the residual is the
-          irreducible second job per batch: the spill write's scan +
-          its fixed scheduling cost);
+          replay; this shape measured 1.50×, then 1.31× once aligned
+          merge writes landed — the residual is the irreducible second
+          job per batch: the spill write's scan + its fixed scheduling
+          cost);
         - the committed set broadcasts, so nothing shuffles the batch;
         - the per-row action parse is LAZY: a row whose txid has a
           ``C`` marker in the batch is ready regardless of its action,
