@@ -264,3 +264,40 @@ def test_view_self_compaction_between_refreshes(spark, tmp_path):
         refresh_aggregate_view(base, view, AGGS)
         view.compact()
         assert _view_rows(view) == _oracle(base)
+
+
+def test_view_follows_a_live_stream(spark, tmp_path):
+    """Maintenance riding the streaming replay: refresh after every
+    micro-batch (the foreachBatch composition a deployment runs), view
+    equals a full recompute of the final head."""
+    from tap_postgres_spark.feedgen import FQN, FeedConfig, generate_feed, write_feed
+    from tap_postgres_spark.streaming import StreamingCdcRunner
+    from tests.test_end_to_end import load_snapshot, make_pipeline
+
+    feed = generate_feed(FeedConfig(n_events=300, n_initial_paths=60, n_feed_files=6))
+    pipeline, table, _state = make_pipeline(spark, tmp_path)
+    load_snapshot(spark, pipeline, table, feed, tmp_path)
+    feed_dir = str(tmp_path / "feed")
+    write_feed(feed, feed_dir)
+
+    aggs = [Agg("count", None, "n_paths")]
+    view = bootstrap_aggregate_view(spark, table, str(tmp_path / "v"), ["repo"], aggs)
+    runner = StreamingCdcRunner(
+        pipeline, feed_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    refreshes = []
+    inner = runner._foreach_batch
+
+    def fb(df, bid):
+        inner(df, bid)
+        refreshes.append(refresh_aggregate_view(table, view, aggs))
+
+    runner._foreach_batch = fb
+    runner.run_available_now()
+    assert len([r for r in refreshes if not r["skipped"]]) >= 3
+    got = {tuple(r) for r in read_aggregate_view(view, aggs).collect()}
+    oracle = {
+        tuple(r)
+        for r in table.read().groupBy("repo").agg(F.count(F.lit(1)).alias("n_paths")).collect()
+    }
+    assert got == oracle
