@@ -289,67 +289,72 @@ def refresh_aggregate_view(
     if to_v <= from_v:
         return {"skipped": True, "refreshed_version": from_v}
 
-    changed = base.read_changes(from_v, to_v)
-    key_cols = base.key_columns
-    changed_keys = changed.select(*key_cols).distinct()
-    # old images: bucket-pruned snapshot read at from_v, semi-joined to
-    # the changed keys — only the touched buckets are scanned and only
-    # the key set ships (read_keys' large-set strategy; read_keys itself
-    # reads the HEAD, this needs the from_v snapshot)
-    old = base.read(
-        version=from_v,
-        # bucket ids computed under from_v's layout: a rebucket
-        # between from_v and the head changes the bucket count
-        buckets=base.buckets_for_keys(changed_keys, version=from_v),
-        # semi filter BELOW the LWW fold: fold work stays O(changed
-        # keys' rows), not O(pruned buckets)
-        semi_keys=changed_keys,
-    )
-    new_live = changed.filter(F.col(SDC_DELETED_AT).isNull())
-
-    storage = _storage_cols(aggs)
-    extremal = [(n, c) for n, c in storage if _is_extremal(c)]
-    if extremal:
-        # min/max are insert-monotone only: any changed key with an old
-        # image (an update or delete of an existing row) could retract
-        # the current extremum, which a delta refresh cannot express —
-        # fail loudly instead of committing a possibly-stale view
-        if old.limit(1).count() > 0:
-            raise ValueError(
-                "refresh range touches existing keys, which min/max "
-                f"aggregates ({[n for n, _ in extremal]}) cannot "
-                "retract; re-bootstrap the view or drop the extremal "
-                "aggregates (Agg docstring has the rationale)"
-            )
-    exprs = _contrib_exprs(aggs)
-    store = [n for n, _ in storage]
-    plus = new_live.groupBy(*group_cols).agg(*exprs)
-    minus = old.groupBy(*group_cols).agg(*exprs)
-    delta = _nullsafe_outer_combine(
-        plus,
-        minus,
-        group_cols,
-        [(n, _take_left if _is_extremal(c) else _sub0) for n, c in storage],
-    ).filter(
-        # an update that left the group and every input unchanged
-        # contributes nothing — drop it before the view point read.
-        # __cnt's delta covers the extremal columns: an insert-only
-        # range (the only legal one for min/max) always bumps it
-        functools.reduce(
-            operator.or_,
-            [
-                F.abs(F.col(n)) > 0
-                for n, c in storage
-                if not _is_extremal(c)
-            ],
-        )
-    )
-    # the delta subtree contains the changelog scan AND the old-image
-    # point read; it is consumed three times (bucket-id collect, the
-    # view point read's semi side, the merge write) but is only
-    # |touched groups| tiny rows — persist it instead of re-scanning
-    delta = delta.persist()
+    # the folded changelog carries a shuffle (per-key LWW fold) and is
+    # consumed by four subtrees (bucket-id collect, the old read's semi
+    # side, the plus contributions, the extremal guard) — persist the
+    # O(|changes|) relation rather than re-shuffling it per consumer
+    changed = base.read_changes(from_v, to_v).persist()
+    delta = None
     try:
+        key_cols = base.key_columns
+        changed_keys = changed.select(*key_cols).distinct()
+        # old images: bucket-pruned snapshot read at from_v, semi-joined to
+        # the changed keys — only the touched buckets are scanned and only
+        # the key set ships (read_keys' large-set strategy; read_keys itself
+        # reads the HEAD, this needs the from_v snapshot)
+        old = base.read(
+            version=from_v,
+            # bucket ids computed under from_v's layout: a rebucket
+            # between from_v and the head changes the bucket count
+            buckets=base.buckets_for_keys(changed_keys, version=from_v),
+            # semi filter BELOW the LWW fold: fold work stays O(changed
+            # keys' rows), not O(pruned buckets)
+            semi_keys=changed_keys,
+        )
+        new_live = changed.filter(F.col(SDC_DELETED_AT).isNull())
+
+        storage = _storage_cols(aggs)
+        extremal = [(n, c) for n, c in storage if _is_extremal(c)]
+        if extremal:
+            # min/max are insert-monotone only: any changed key with an old
+            # image (an update or delete of an existing row) could retract
+            # the current extremum, which a delta refresh cannot express —
+            # fail loudly instead of committing a possibly-stale view
+            if old.limit(1).count() > 0:
+                raise ValueError(
+                    "refresh range touches existing keys, which min/max "
+                    f"aggregates ({[n for n, _ in extremal]}) cannot "
+                    "retract; re-bootstrap the view or drop the extremal "
+                    "aggregates (Agg docstring has the rationale)"
+                )
+        exprs = _contrib_exprs(aggs)
+        store = [n for n, _ in storage]
+        plus = new_live.groupBy(*group_cols).agg(*exprs)
+        minus = old.groupBy(*group_cols).agg(*exprs)
+        delta = _nullsafe_outer_combine(
+            plus,
+            minus,
+            group_cols,
+            [(n, _take_left if _is_extremal(c) else _sub0) for n, c in storage],
+        ).filter(
+            # an update that left the group and every input unchanged
+            # contributes nothing — drop it before the view point read.
+            # __cnt's delta covers the extremal columns: an insert-only
+            # range (the only legal one for min/max) always bumps it
+            functools.reduce(
+                operator.or_,
+                [
+                    F.abs(F.col(n)) > 0
+                    for n, c in storage
+                    if not _is_extremal(c)
+                ],
+            )
+        )
+        # the delta subtree contains the changelog scan AND the old-image
+        # point read; it is consumed three times (bucket-id collect, the
+        # view point read's semi side, the merge write) but is only
+        # |touched groups| tiny rows — persist it instead of re-scanning
+        delta = delta.persist()
         touched = delta.select(*group_cols).distinct()
         current = view.read(
             buckets=view.buckets_for_keys(touched), semi_keys=touched
@@ -381,7 +386,9 @@ def refresh_aggregate_view(
         )
         summary = view.merge_into(batch, epoch_id=f"{_EPOCH_PREFIX}{to_v}")
     finally:
-        delta.unpersist()
+        if delta is not None:
+            delta.unpersist()
+        changed.unpersist()
     return {
         "skipped": bool(summary.get("skipped")),
         "from_version": from_v,
