@@ -23,6 +23,7 @@ Config keys (JSON file passed via --config):
 - ``wal_feed_dir`` / ``lake_dir`` / ``checkpoint_dir``  LOG_BASED replay dirs
 - ``txn_boundary_dir``  defer uncommitted transactions across batches (modes/txn.py)
 - ``snapshots_dir``     publish cross-table consistent snapshots per epoch (lake/snapshots.py)
+- ``changefeed_dir``    re-publish each stream's changelog as a WAL feed per epoch (lake/changefeed.py)
 - ``spark``             {"master": "local[8]", "shuffle_partitions": N}
 
 Stdout carries ONLY Singer messages (one JSON per line); diagnostics go
@@ -167,6 +168,7 @@ def _sync_log_based(
         retention_keep_last=config.get("retention_keep_last"),
         txn_boundary_dir=config.get("txn_boundary_dir"),
         snapshots_dir=config.get("snapshots_dir"),
+        changefeed_dir=config.get("changefeed_dir"),
     )
     runner = StreamingCdcRunner(
         pipeline,
@@ -238,7 +240,7 @@ _CONFIG_KEYS = {
     "wal_feed_dir", "lake_dir", "checkpoint_dir", "dead_letter_dir",
     "pg_types", "num_buckets", "max_files_per_trigger", "start_date",
     "stream_maps", "stream_map_config", "spark", "retention_keep_last",
-    "txn_boundary_dir", "snapshots_dir",
+    "txn_boundary_dir", "snapshots_dir", "changefeed_dir",
 }
 
 

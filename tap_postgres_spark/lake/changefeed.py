@@ -175,7 +175,21 @@ def export_changefeed(
     if to_v <= from_v:
         return {"skipped": True, "exported_version": from_v}
 
-    changes = base.read_changes(from_v, to_v)
+    if from_v == 0:
+        # initial export: if the history up to to_v contains an
+        # overwrite (FULL_TABLE snapshot load) or has been expired, the
+        # changelog is undefined — but there is no downstream state yet,
+        # so a FULL-state export (live rows + tombstones, the same
+        # folded shape) is exactly equivalent
+        try:
+            changes = base.read_changes(0, to_v)
+        except ValueError:
+            changes = base.read(version=to_v, include_tombstones=True)
+    else:
+        # mid-stream the fallback would be WRONG: a full-state export
+        # cannot express rows an overwrite implicitly deleted — let the
+        # changelog guard raise (downstream must re-bootstrap)
+        changes = base.read_changes(from_v, to_v)
     key_cols = base.key_columns
     data_fields = [
         f

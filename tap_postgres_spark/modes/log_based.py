@@ -103,6 +103,7 @@ class CdcPipeline:
         concurrent_merges: int = 1,
         txn_boundary_dir: str | None = None,
         snapshots_dir: str | None = None,
+        changefeed_dir: str | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -159,6 +160,13 @@ class CdcPipeline:
             )
         else:
             self.snapshots = None
+        # live CDC fan-out: when set, every applied epoch re-publishes
+        # each stream's changelog as a WAL feed under
+        # <changefeed_dir>/<fqn>/ (lake/changefeed.py) — a downstream
+        # pipeline tails the FIRST table instead of a second replication
+        # slot.  Pointer-idempotent, so crash-replayed epochs re-export
+        # the same rows under the same names.
+        self.changefeed_dir = changefeed_dir
         self._compact_count: dict[str, int] = {}
         # per-fqn stream maps applied to decoded rows before the merge —
         # the SDK applies maps to every RECORD before emission (reference
@@ -528,6 +536,19 @@ class CdcPipeline:
                 "streams": results,
                 "dead_letter": dead_letter,
             }
+            if self.changefeed_dir is not None:
+                from ..lake.changefeed import export_changefeed
+
+                out["changefeed"] = {
+                    fqn: export_changefeed(
+                        self.tables[fqn],
+                        os.path.join(self.changefeed_dir, fqn),
+                        stream.schema_name,
+                        stream.table_name,
+                        self.pg_types.get(fqn),
+                    )
+                    for fqn, stream in self.streams.items()
+                }
             if self.snapshots is not None:
                 # publish after every table's merge + maintenance: a
                 # crash before this line leaves readers on the previous

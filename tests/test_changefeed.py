@@ -164,3 +164,60 @@ def test_typed_columns_round_trip(spark, tmp_path):
         }
 
     assert rows_of(dst) == rows_of(src)
+
+
+def test_live_relay_through_streaming_runner(spark, tmp_path):
+    """Pipeline A runs with changefeed_dir set; pipeline B tails A's
+    changefeed with its OWN streaming runner — a replication chain of
+    two live engines converges to identical content."""
+    from tap_postgres_spark.feedgen import FQN, FeedConfig, generate_feed, write_feed
+    from tap_postgres_spark.streaming import StreamingCdcRunner
+    from tests.test_end_to_end import (
+        assert_state_matches_oracle,
+        load_snapshot,
+        make_pipeline,
+    )
+
+    feed = generate_feed(FeedConfig(n_events=300, n_initial_paths=60, n_feed_files=6))
+    cf_root = str(tmp_path / "cf")
+    pipe_a, table_a, _ = make_pipeline(spark, tmp_path, changefeed_dir=cf_root)
+    load_snapshot(spark, pipe_a, table_a, feed, tmp_path)
+    feed_dir = str(tmp_path / "feed")
+    write_feed(feed, feed_dir)
+    runner_a = StreamingCdcRunner(
+        pipe_a, feed_dir, str(tmp_path / "ckpt_a"), max_files_per_trigger=2
+    )
+    results = runner_a.run_available_now()
+    assert all(r["changefeed"][FQN] is not None for r in results)
+
+    # B: independent pipeline whose WAL source IS A's changefeed
+    schema = table_a.schema  # includes evolved cols + _sdc_*
+    base = T.StructType(
+        [f for f in schema.fields if not f.name.startswith("_sdc")]
+    )
+    dst = LakeTable.create(
+        spark, str(tmp_path / "b"), widen_for_cdc(base), list(table_a.key_columns),
+        num_buckets=4,
+    )
+    sname, tname = FQN.split(".", 1)
+    pipe_b = CdcPipeline(
+        spark,
+        [StreamDef(sname, tname, base, tuple(table_a.key_columns))],
+        {FQN: {f.name: "text" for f in base.fields}},
+        {FQN: dst},
+        StateStore(str(tmp_path / "state_b.json")),
+        detect_evolution=False,
+    )
+    runner_b = StreamingCdcRunner(
+        pipe_b, f"{cf_root}/{FQN}", str(tmp_path / "ckpt_b"), max_files_per_trigger=4
+    )
+    runner_b.run_available_now()
+
+    def content(t):
+        keys = list(table_a.key_columns)
+        cols = keys + [f.name for f in base.fields if f.name not in keys]
+        return {
+            tuple(str(r[c]) for c in cols) for r in t.read().select(*cols).collect()
+        }
+
+    assert content(dst) == content(table_a)
