@@ -34,6 +34,7 @@ def test_full_production_config_with_crash(spark, tmp_path):
         tmp_path,
         txn_boundary_dir=str(tmp_path / "txn"),
         snapshots_dir=str(tmp_path / "snaps"),
+        changefeed_dir=str(tmp_path / "cf"),
         dead_letter_dir=str(tmp_path / "dl"),
         auto_compact_depth=2,
         full_compact_every=2,
@@ -92,3 +93,37 @@ def test_full_production_config_with_crash(spark, tmp_path):
 
     # 5. bookmark advanced to the feed tip
     assert state.bookmark(FQN) == max(e["lsn"] for e in feed.events)
+
+    # 6. the live changefeed relay kept up: replaying the exported feed
+    #    into a FRESH pipeline reproduces the table (fan-out composes
+    #    with txn atomicity + compaction + retention + crash-resume)
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.lake.changefeed import exported_version
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import StreamDef, widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+    from pyspark.sql import types as T
+
+    assert exported_version(str(tmp_path / "cf" / FQN)) == table.current_version()
+    base = T.StructType(
+        [f for f in table.schema.fields if not f.name.startswith("_sdc")]
+    )
+    dst = LakeTable.create(
+        spark, str(tmp_path / "relay"), widen_for_cdc(base),
+        list(table.key_columns), num_buckets=4,
+    )
+    sname, tname = FQN.split(".", 1)
+    pipe_b = CdcPipeline(
+        spark,
+        [StreamDef(sname, tname, base, tuple(table.key_columns))],
+        {FQN: {f.name: "text" for f in base.fields}},
+        {FQN: dst},
+        StateStore(str(tmp_path / "state_b.json")),
+        detect_evolution=False,
+    )
+    pipe_b.apply_batch(
+        spark.read.schema("lsn long, txid long, payload string")
+        .parquet(str(tmp_path / "cf" / FQN)),
+        epoch_id="relay",
+    )
+    assert dst.read().count() == head_n
