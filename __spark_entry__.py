@@ -534,6 +534,23 @@ def q_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 beyond-reference breadth: CUBE rollup over (event_type,
+    user bucket) — all four grouping-set levels in one pass (Spark plans
+    an Expand + single hash aggregate, not four scans).  GROUPING()
+    indicators disambiguate the NULL-as-total rows from genuine NULL
+    group values, keeping the DuckDB comparison exact."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 4).alias("ub"), "value"
+    )
+    return ev.cube("event_type", "ub").agg(
+        F.grouping("event_type").alias("g_type"),
+        F.grouping("ub").alias("g_ub"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1457,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe": q_minhash_index_probe,
         "source_overlap": q_source_overlap,
         "aggregate_view": q_aggregate_view,
+        "event_cube": q_event_cube,
         # --- certified in CORRECTNESS_r03, re-certifying this round ---
         "full_table_scan": q_full_table_scan,
         "incremental_scan": q_incremental_scan,
@@ -2226,6 +2244,15 @@ def oracle_sql() -> dict[str, str]:
                             FROM events GROUP BY user_id)
             SELECT user_id, round(value * 2, 6) AS value_x2, lsn AS _sdc_lsn
             FROM latest WHERE last_type <> 'error'
+        """,
+        "event_cube": """
+            SELECT event_type, user_id % 4 AS ub,
+                   grouping(event_type) AS g_type,
+                   grouping(user_id % 4) AS g_ub,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, user_id % 4)
         """,
         "aggregate_view": """
             WITH latest AS (SELECT user_id,
