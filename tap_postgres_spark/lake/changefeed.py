@@ -242,15 +242,22 @@ def export_changefeed(
     # deterministic names make a crash-replayed export overwrite itself)
     stage = os.path.join(feed_dir, f".stage-{uuid.uuid4().hex[:8]}")
     out.write.mode("overwrite").parquet(stage)
+    import pyarrow.parquet as pq
+
     moved = 0
     parts = sorted(
         f for f in os.listdir(stage) if f.endswith(".parquet")
     )
-    for i, name in enumerate(parts):
+    for name in parts:
+        src_path = os.path.join(stage, name)
+        # maintenance-only ranges (compaction commits are changelog
+        # pass-through) produce 0-row parts — don't litter the feed
+        if pq.ParquetFile(src_path).metadata.num_rows == 0:
+            continue
         dst = os.path.join(
-            feed_dir, f"chgfeed-{from_v + 1:08d}-{to_v:08d}-{i:04d}.parquet"
+            feed_dir, f"chgfeed-{from_v + 1:08d}-{to_v:08d}-{moved:04d}.parquet"
         )
-        os.replace(os.path.join(stage, name), dst)
+        os.replace(src_path, dst)
         moved += 1
     shutil.rmtree(stage, ignore_errors=True)
 

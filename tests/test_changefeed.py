@@ -221,3 +221,19 @@ def test_live_relay_through_streaming_runner(spark, tmp_path):
         }
 
     assert content(dst) == content(table_a)
+
+
+def test_compaction_only_range_exports_empty(spark, chain):
+    """A range containing only maintenance commits (compact) exports no
+    rows but still advances the pointer, so the walk never re-covers it."""
+    src, dst, pipe, feed = chain
+    src.merge_into(_batch(spark, [(1, "a", 1.0, None, 0), (2, "b", 2.0, None, 0)], 100), epoch_id="e1")
+    src.merge_into(_batch(spark, [(1, "a2", 1.5, None, 0)], 200), epoch_id="e2")
+    export_changefeed(src, feed, "pub", "downstream", PG_TYPES)
+    v1 = exported_version(feed)
+    assert not src.compact()["skipped"]
+    res = export_changefeed(src, feed, "pub", "downstream", PG_TYPES)
+    assert not res["skipped"] and res["files"] == 0
+    assert exported_version(feed) == src.current_version() > v1
+    _replay(spark, pipe, feed, "c1")
+    assert _rows(dst) == _rows(src)
