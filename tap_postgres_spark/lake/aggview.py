@@ -219,6 +219,17 @@ def _nullsafe_outer_combine(
     )
 
 
+def _input_columns(group_cols: list[str], aggs: list[Agg]) -> list[str]:
+    """The only base columns the view reads — passed as read(columns=)
+    so the scans are as narrow as the view (the LWW fold otherwise
+    forces the full row width off parquet)."""
+    out = list(group_cols)
+    for a in aggs:
+        if a.col and a.col not in out:
+            out.append(a.col)
+    return out
+
+
 def _validate(base: LakeTable, group_cols: list[str], aggs: list[Agg]) -> None:
     cols = set(base.schema.fieldNames())
     for g in group_cols:
@@ -249,7 +260,7 @@ def bootstrap_aggregate_view(
     :func:`read_aggregate_view` for SQL-shaped output)."""
     _validate(base, group_cols, aggs)
     to_v = base.current_version()
-    live = base.read()
+    live = base.read(columns=_input_columns(group_cols, aggs))
     contrib = live.groupBy(*group_cols).agg(*_contrib_exprs(aggs))
     batch = contrib.select(
         *contrib.columns,
@@ -293,7 +304,8 @@ def refresh_aggregate_view(
     # consumed by four subtrees (bucket-id collect, the old read's semi
     # side, the plus contributions, the extremal guard) — persist the
     # O(|changes|) relation rather than re-shuffling it per consumer
-    changed = base.read_changes(from_v, to_v).persist()
+    need = _input_columns(group_cols, aggs)
+    changed = base.read_changes(from_v, to_v, columns=need).persist()
     delta = None
     try:
         key_cols = base.key_columns
@@ -310,6 +322,8 @@ def refresh_aggregate_view(
             # semi filter BELOW the LWW fold: fold work stays O(changed
             # keys' rows), not O(pruned buckets)
             semi_keys=changed_keys,
+            # and only the view's input columns come off parquet
+            columns=need,
         )
         new_live = changed.filter(F.col(SDC_DELETED_AT).isNull())
 

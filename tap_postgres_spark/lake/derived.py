@@ -70,6 +70,7 @@ def bootstrap_derived(
     *,
     num_buckets: int | None = None,
     extra_keys: "tuple[str, ...]" = (),
+    columns: "list[str] | None" = None,
 ) -> LakeTable:
     """Create a derived table from a full transform of the base head —
     the one O(|table|) pass; every later :func:`refresh_derived` is
@@ -85,7 +86,10 @@ def bootstrap_derived(
     refreshes then need an ``expand_tombstones`` callback so a base
     delete tombstones every derived row of that key."""
     to_v = base.current_version()
-    live = base.read()  # LWW-folded, tombstones dropped, carries _sdc_lsn
+    # columns= narrows the SCAN (the LWW fold blocks Catalyst's column
+    # pruning): pass the transform's input columns so a 2-column
+    # derivation of a wide table reads 2 columns, not the row
+    live = base.read(columns=columns)  # LWW-folded, tombstones dropped
     out = transform(live)
     keys = base.key_columns + list(extra_keys)
     _check_transform_output(out, keys)
@@ -110,6 +114,7 @@ def refresh_derived(
     *,
     to_version: int | None = None,
     expand_tombstones: Transform | None = None,
+    columns: "list[str] | None" = None,
 ) -> dict[str, Any]:
     """Bring ``derived`` up to the base head by transforming ONLY the
     keys the base changelog touched since the last refresh.
@@ -134,7 +139,7 @@ def refresh_derived(
             "reason": f"derived already at base v{from_v} >= v{to_v}",
             "version": derived.current_version(),
         }
-    changes = base.read_changes(from_v, to_v)
+    changes = base.read_changes(from_v, to_v, columns=columns)
     keys = derived.key_columns  # base keys + any extra_keys
     extra = [k for k in keys if k not in base.key_columns]
     if extra and expand_tombstones is None:

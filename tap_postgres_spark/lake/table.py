@@ -393,6 +393,22 @@ class LakeTable:
     def _bucket_fn(self, meta: dict[str, Any]) -> str:
         return meta.get("bucket_fn", "xxhash64")
 
+    @staticmethod
+    def _narrow_schema(
+        schema: T.StructType,
+        key_columns: Sequence[str],
+        columns: Sequence[str],
+    ) -> T.StructType:
+        """Reduced read schema: keys + requested + LWW resolution
+        columns, in table order.  Unknown names raise (a column absent
+        from THIS version's schema would otherwise silently read NULL)."""
+        known = {f.name for f in schema.fields}
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise ValueError(f"columns not in schema: {missing}")
+        need = set(columns) | set(key_columns) | {SDC_LSN, SDC_DELETED_AT}
+        return T.StructType([f for f in schema.fields if f.name in need])
+
     def _write_aligned(
         self,
         meta: dict[str, Any],
@@ -532,6 +548,7 @@ class LakeTable:
         as_of: datetime | str | None = None,
         as_of_lsn: int | None = None,
         semi_keys: DataFrame | None = None,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table.
 
@@ -542,6 +559,15 @@ class LakeTable:
         Time travel: by ``version`` number, by commit timestamp with
         ``as_of`` (:meth:`version_as_of`), or by WAL position with
         ``as_of_lsn`` (:meth:`version_for_lsn`).
+
+        ``columns`` narrows the SCAN, not just the output: the LWW fold
+        is ``max_by(struct(<every column>))``, which blocks Catalyst's
+        column pruning — a ``.select()`` after ``read()`` still reads
+        the full row width off parquet.  Passing ``columns`` builds the
+        narrowed read schema directly (keys + requested + the ``_sdc_*``
+        resolution columns), so a 2-column consumer of a wide table
+        scans 2 columns.  Output = key columns + requested + ``_sdc_lsn``
+        (+ ``_sdc_deleted_at`` when tombstones are included).
 
         ``semi_keys`` (a DataFrame carrying the key columns) filters to
         those keys with a broadcast LEFT SEMI applied to the raw scan
@@ -561,6 +587,8 @@ class LakeTable:
             version = self.version_for_lsn(as_of_lsn)
         meta = self.metadata(version)
         schema = T.StructType.fromJson(meta["schema"])
+        if columns is not None:
+            schema = self._narrow_schema(schema, meta["key_columns"], columns)
         bmap = self.buckets_map(meta["version"])
         sel = (
             {str(b) for b in buckets} if buckets is not None else set(bmap.keys())
@@ -586,7 +614,7 @@ class LakeTable:
 
     def read_changes(
         self, from_version: int, to_version: int | None = None,
-        *, fold: bool = True,
+        *, fold: bool = True, columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """Incremental changelog read (Iceberg incremental-scan parity):
         the change rows committed by merge versions in
@@ -644,6 +672,12 @@ class LakeTable:
                 )
             v = parent
         schema = T.StructType.fromJson(self.metadata(to_v)["schema"])
+        if columns is not None:
+            # same scan-narrowing rationale as read(columns=): the fold
+            # struct otherwise forces the full row width off parquet
+            schema = self._narrow_schema(
+                schema, self.metadata(to_v)["key_columns"], columns
+            )
         df = self._read_dirs(dirs, schema, with_gen=True)
         if fold and SDC_LSN in df.columns:
             df = fold_last_writer_wins_agg(
@@ -652,7 +686,11 @@ class LakeTable:
         return df.drop(SDC_GEN)
 
     def read_keys(
-        self, keys_df: DataFrame, *, pushdown_limit: int = 128
+        self,
+        keys_df: DataFrame,
+        *,
+        pushdown_limit: int = 128,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """Point/batch read: rows whose key appears in ``keys_df`` (a
         DataFrame carrying the key columns).  Two strategies, switched on
@@ -680,8 +718,8 @@ class LakeTable:
         probe = kdf.limit(pushdown_limit + 1).collect()
         bks = self.buckets_for_keys(kdf)
         if len(probe) > pushdown_limit:
-            return self.read(buckets=bks, semi_keys=kdf)
-        df = self.read(buckets=bks)
+            return self.read(buckets=bks, semi_keys=kdf, columns=columns)
+        df = self.read(buckets=bks, columns=columns)
         pred = None
         for r in probe:
             one = None

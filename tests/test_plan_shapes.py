@@ -142,3 +142,51 @@ def test_semi_keys_filter_sits_below_lww_fold(spark, tmp_path):
         agg_at = plan.index("max_by")
         join_at = plan.index("LeftSemi")
         assert join_at > agg_at, plan
+
+
+def test_columns_param_narrows_read_schema(spark, tmp_path):
+    """read(columns=) must narrow the parquet ReadSchema itself: the
+    max_by(struct(<all cols>)) fold blocks Catalyst's column pruning, so
+    a .select() after read() still scans the full row width — passing
+    columns builds the narrow read schema directly."""
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("g", T.StringType(), True),
+                T.StructField("wide", T.StringType(), True),
+            ]
+        )
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], num_buckets=4)
+    t.merge_into(
+        spark.range(50).select(
+            (F.col("id") % 25).alias("k"),
+            F.lit("a").alias("g"),
+            F.lit("w").alias("wide"),
+            (F.col("id") + 5).alias("_sdc_lsn"),
+            F.lit(None).cast("string").alias("_sdc_deleted_at"),
+        ),
+        epoch_id="e1",
+    )
+    # the documented hole: select() after read() does NOT prune
+    assert "wide" in _plan(t.read().select("k", "g"))
+    # columns= does
+    narrow = _plan(t.read(columns=["g"]))
+    assert "wide" not in narrow, narrow
+    import re
+
+    rs = re.search(r"ReadSchema: ([^\n]+)", narrow).group(1)
+    assert "wide" not in rs and "g:string" in rs, rs
+    # changelog reads narrow the same way
+    ch = _plan(t.read_changes(1, columns=["g"]))
+    assert "wide" not in ch, ch
+    import pytest
+
+    with pytest.raises(ValueError, match="not in schema"):
+        t.read(columns=["nope"])
