@@ -111,8 +111,11 @@ def bootstrap_inverted(
     to_v = base.current_version()
     keys = base.key_columns
     src = source_cols if source_cols is not None else payload_cols
+    # columns= narrows the parquet scan itself (the LWW fold blocks
+    # Catalyst's pruning): a content-digest index over a wide table
+    # reads only its source columns
     assigned = assign(
-        base.read().select(*keys, SDC_LSN, *src)
+        base.read(columns=list(src)).select(*keys, SDC_LSN, *src)
     ).withColumn(LIVE, F.lit(1))
     write_cells(
         assigned.select(*keys, SDC_LSN, cell_col, *payload_cols, LIVE),
@@ -171,7 +174,7 @@ def refresh_inverted(
     from_v = refreshed_base_version(fmap, _EPOCH_PREFIX)
     if to_v <= from_v:
         return {"skipped": True, "from": from_v, "to": to_v}
-    changes = base.read_changes(from_v, to_v)
+    changes = base.read_changes(from_v, to_v, columns=list(source_cols))
 
     live = changes.filter(F.col(SDC_DELETED_AT).isNull())
     assigned = assign(live.select(*keys, SDC_LSN, *source_cols))
