@@ -1438,72 +1438,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING = driver-certification rotation (VERDICT r3 item #1). The
-    # driver's CORRECTNESS window covers the FIRST 50 entries only, so
-    # the 23 entries it has never certified (the round-3 pipelineops
-    # surface, judge-verified only) come FIRST this round; the 50
-    # already-certified-in-r03 entries follow, of which the first 27
-    # re-certify and the last 23 (simhash … multimodal_video_decode —
-    # all green in CORRECTNESS_r03.json) rotate back in next round.
+    # ORDERING = driver-certification rotation (documented at the end of
+    # SURVEY.md).  The driver's CORRECTNESS window covers the FIRST 50
+    # entries only, so each round the front of this dict holds, in order:
+    # (a) entries never driver-certified, (b) entries whose output
+    # changed since their last certification, (c) entries last certified
+    # in an older round (rotating back in), then everything certified in
+    # the immediately previous round.  r05 window: 4 never-certified +
+    # 4 changed to integer fixed-point this round + new r05 entries +
+    # the 28 r03-certified rows rotated out of the r04 window.
     return {
+        # --- (a) never driver-certified (added late in round 4) ---
+        "curate_corpus": q_curate_corpus,
+        "asof_join_events": q_asof_join_events,
+        "asof_forward_events": q_asof_forward_events,
+        "range_join_prices": q_range_join_prices,
+        # --- (b) output changed this round (doubles → integer
+        #     fixed-point: cents / parts-per-million) ---
         "sessionize": q_sessionize,
-        "decontaminate": q_decontaminate,
         "token_entropy": q_token_entropy,
-        "neardup_clusters": q_neardup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "window_rollup": q_window_rollup,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "vocab_top": q_vocab_top,
-        "pii_scan": q_pii_scan,
-        "pii_redact": q_pii_redact,
-        "chunk_documents": q_chunk_documents,
-        "dedup_against_corpus": q_dedup_against_corpus,
-        "label_centroids": q_label_centroids,
-        "length_stats": q_length_stats,
-        "length_stats_approx": q_length_stats_approx,
-        "frequent_ngrams": q_frequent_ngrams,
-        "training_mix": q_training_mix,
-        "stratified_sample": q_stratified_sample,
-        "cap_per_source": q_cap_per_source,
-        "quality_logit": q_quality_logit,
-        "weighted_sample": q_weighted_sample,
         "mixture_weights": q_mixture_weights,
-        # new in round 4 — inside the 50-row window for first certification
-        "semantic_dedup_deep": q_semantic_dedup_deep,
-        "minhash_index_probe": q_minhash_index_probe,
-        "source_overlap": q_source_overlap,
-        "aggregate_view": q_aggregate_view,
-        "event_cube": q_event_cube,
-        # --- certified in CORRECTNESS_r03, re-certifying this round ---
-        "full_table_scan": q_full_table_scan,
-        "incremental_scan": q_incremental_scan,
-        "event_decode": q_event_decode,
-        "lww_latest": q_lww_latest,
-        "merge_apply": q_merge_apply,
-        "lake_changelog": q_lake_changelog,
-        "derived_refresh": q_derived_refresh,
-        "bootstrap_handoff": q_bootstrap_handoff,
-        "order_monitor": q_order_monitor,
-        "bookmark_max": q_bookmark_max,
-        "routing_counts": q_routing_counts,
-        "bookmark_filter": q_bookmark_filter,
-        "q1_pricing": q_q1_pricing,
-        "q3_top_orders": q_q3_top_orders,
-        "q5_nation_volume": q_q5_nation_volume,
-        "topk_per_group": q_topk_per_group,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality_features": q_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "token_count_bpe": q_token_count_bpe,
+        "window_rollup": q_window_rollup,
+        # --- (c) last certified in CORRECTNESS_r03; rotate back in ---
         "chargram_sketch": q_chargram_sketch,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_oversized": q_minhash_lsh_oversized,
         "minhash_dedup_docs": q_minhash_dedup_docs,
-        # --- certified in CORRECTNESS_r03, rotate back next round ---
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
@@ -1527,16 +1488,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_video_decode": q_multimodal_video_decode,
-        # new in round 4 (late): composed curation pipeline — outside
-        # the current 50-row window; rotates forward for driver
-        # certification next round (judge-verifiable via
-        # tools/verify_oracles.py meanwhile)
-        "curate_corpus": q_curate_corpus,
-        # temporal joins (operators/temporal.py) — as-of exercises the
-        # segmented hot-key-safe plan, range the bucket-blocked hash join
-        "asof_join_events": q_asof_join_events,
-        "asof_forward_events": q_asof_forward_events,
-        "range_join_prices": q_range_join_prices,
+        # --- certified green in CORRECTNESS_r04; rotate out of the
+        #     window (positions 37+; re-certify in a later round) ---
+        "decontaminate": q_decontaminate,
+        "neardup_clusters": q_neardup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "vocab_top": q_vocab_top,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "chunk_documents": q_chunk_documents,
+        "dedup_against_corpus": q_dedup_against_corpus,
+        "label_centroids": q_label_centroids,
+        "length_stats": q_length_stats,
+        "length_stats_approx": q_length_stats_approx,
+        "frequent_ngrams": q_frequent_ngrams,
+        "training_mix": q_training_mix,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_source": q_cap_per_source,
+        "quality_logit": q_quality_logit,
+        "weighted_sample": q_weighted_sample,
+        "semantic_dedup_deep": q_semantic_dedup_deep,
+        "minhash_index_probe": q_minhash_index_probe,
+        "source_overlap": q_source_overlap,
+        "aggregate_view": q_aggregate_view,
+        "event_cube": q_event_cube,
+        "full_table_scan": q_full_table_scan,
+        "incremental_scan": q_incremental_scan,
+        "event_decode": q_event_decode,
+        "lww_latest": q_lww_latest,
+        "merge_apply": q_merge_apply,
+        "lake_changelog": q_lake_changelog,
+        "derived_refresh": q_derived_refresh,
+        "bootstrap_handoff": q_bootstrap_handoff,
+        "order_monitor": q_order_monitor,
+        "bookmark_max": q_bookmark_max,
+        "routing_counts": q_routing_counts,
+        "bookmark_filter": q_bookmark_filter,
+        "q1_pricing": q_q1_pricing,
+        "q3_top_orders": q_q3_top_orders,
+        "q5_nation_volume": q_q5_nation_volume,
+        "topk_per_group": q_topk_per_group,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_features": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
     }
 
 
@@ -2637,8 +2636,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, t
             )
             SELECT doc_id, sum(c) AS n_tokens,
-                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
-                     AS token_entropy
+                   CAST(round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                              * 1000000) AS BIGINT)
+                     AS entropy_ppm
             FROM tf GROUP BY doc_id
         """,
         "sessionize": f"""
@@ -2655,13 +2655,14 @@ def oracle_sql() -> dict[str, str]:
                       ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts_us) AS start_us, max(ts_us) AS end_us,
-                   round(sum(value), 2) AS total_value
+                   sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
             FROM s GROUP BY user_id, session_seq
         """,
         "window_rollup": f"""
             SELECT epoch_us(ts) - (epoch_us(ts) % {_ROLLUP_WINDOW_S * 1_000_000})
                        AS window_start_us,
-                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+                   event_type, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "repetition_stats": f"""
@@ -2831,7 +2832,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY lang, source),
             tot AS (SELECT sum(n_tokens) AS _tot FROM per)
             SELECT lang, source, n_docs, n_tokens,
-                   round(n_tokens / _tot, 6) AS token_frac
+                   CAST(round(n_tokens / _tot * 1000000) AS BIGINT)
+                     AS token_frac_ppm
             FROM per, tot
         """,
         "curate_corpus": _curate_corpus_sql(),

@@ -48,12 +48,15 @@ def sessionize(events: DataFrame, gap_s: int = 4 * 3600) -> DataFrame:
     """
     gap_us = int(gap_s) * 1_000_000
     # ts is TIMESTAMP_NTZ on disk; the session timezone is pinned UTC by
-    # the callers, so the cast is the identity the oracle's epoch_us uses
+    # the callers, so the cast is the identity the oracle's epoch_us uses.
+    # Money is folded as integer cents (per-row round, then an exact long
+    # sum): integer addition is associative, so the total is independent
+    # of partitioning/merge order and no double ever reaches the output.
     e = events.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "event_id",
-        "value",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)
@@ -70,7 +73,7 @@ def sessionize(events: DataFrame, gap_s: int = 4 * 3600) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum("value_cents").alias("total_value_cents"),
     )
 
 
@@ -86,17 +89,18 @@ def window_rollup(events: DataFrame, window_s: int = 86_400) -> DataFrame:
     wus = int(window_s) * 1_000_000
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     # integer bucket arithmetic (not floor of a double quotient): exact at
-    # any epoch magnitude, and byte-identical to the SQL oracle
+    # any epoch magnitude, and byte-identical to the SQL oracle; value is
+    # folded as integer cents so the sum is order-independent
     return (
         events.select(
             (ts_us - (ts_us % wus)).cast("long").alias("window_start_us"),
             "event_type",
-            "value",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
         )
         .groupBy("window_start_us", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("value_cents").alias("sum_value_cents"),
         )
     )
 
@@ -579,11 +583,16 @@ def mixture_weights(
         F.sum(F.size(tokens(F.col(text_col)))).alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").alias("_tot"))
+    # token share in parts-per-million as a BIGINT: both operands are
+    # exact integers, so the quotient double is identical everywhere and
+    # no free-form double rendering reaches the output
     return (
         per.join(F.broadcast(total))
         .select(
             *group_cols, "n_docs", "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_frac"),
+            F.round(F.col("n_tokens") / F.col("_tot") * 1_000_000)
+            .cast("long")
+            .alias("token_frac_ppm"),
         )
     )
 
@@ -749,11 +758,17 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     terms = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t"))
     tf = terms.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    # entropy in micro-nats (parts-per-million BIGINT): the inputs are
+    # integer counts, so the double intermediate is deterministic and the
+    # ppm round keeps free-form doubles out of the certified output
     return tf.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
         F.round(
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
-        ).alias("token_entropy"),
+            (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("entropy_ppm"),
     )
 
 

@@ -141,7 +141,7 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType()),
         T.StructField("start_us", T.LongType()),
         T.StructField("end_us", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_value_cents", T.LongType()),
     ]
 )
 
@@ -151,7 +151,7 @@ _SESSION_STATE_SCHEMA = T.StructType(
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_value", T.LongType()),
     ]
 )
 
@@ -168,7 +168,7 @@ def _make_session_fn(gap_us: int):
         if state.exists:
             seq, start_us, last_us, n_ev, sum_v = state.get
         else:
-            seq, start_us, last_us, n_ev, sum_v = 0, None, None, 0, 0.0
+            seq, start_us, last_us, n_ev, sum_v = 0, None, None, 0, 0
 
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -177,7 +177,9 @@ def _make_session_fn(gap_us: int):
             # ACROSS batches — same total order the batch twin sorts by)
             pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
             ts = pdf["ts_us"].to_numpy(dtype=np.int64)
-            val = pdf["value"].to_numpy(dtype=np.float64)
+            # cents were rounded JVM-side (same F.round as the batch twin),
+            # so the in-Python fold is pure integer addition — exact
+            val = pdf["value_cents"].to_numpy(dtype=np.int64)
 
             # vectorized segment split: a new session starts at row i when
             # the gap from the previous event (in-batch or carried state)
@@ -209,7 +211,7 @@ def _make_session_fn(gap_us: int):
             for i in range(len(bounds)):
                 if i == 0 and cont:
                     n_ev += int(seg_counts[0])
-                    sum_v += float(seg_sums[0])
+                    sum_v += int(seg_sums[0])
                     last_us = int(seg_last[0])
                     continue
                 if n_ev:  # close the session the new break ends
@@ -218,20 +220,20 @@ def _make_session_fn(gap_us: int):
                 start_us = int(seg_first[i])
                 last_us = int(seg_last[i])
                 n_ev = int(seg_counts[i])
-                sum_v = float(seg_sums[i])
+                sum_v = int(seg_sums[i])
 
             if closed:
                 yield pd.DataFrame(
                     closed,
                     columns=[
                         "user_id", "session_seq", "n_events",
-                        "start_us", "end_us", "total_value",
+                        "start_us", "end_us", "total_value_cents",
                     ],
                 )
 
         if start_us is not None:  # all-empty batches leave state untouched
             state.update(
-                (int(seq), int(start_us), int(last_us), int(n_ev), float(sum_v))
+                (int(seq), int(start_us), int(last_us), int(n_ev), int(sum_v))
             )
 
     return _session_fn
@@ -264,7 +266,11 @@ def streaming_sessionize(
         F.col(user_col).cast("long").alias("user_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         F.col(id_col).cast("long").alias("event_id"),
-        F.col(value_col).cast("double").alias("value"),
+        # cents rounded JVM-side with the SAME F.round as the batch twin,
+        # so both twins fold identical integers
+        F.round(F.col(value_col).cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
     ).groupBy("user_id")
     return keyed.applyInPandasWithState(
         _make_session_fn(gap_us),

@@ -54,14 +54,17 @@ def streaming_window_rollup(
     :func:`~tap_postgres_spark.pipelineops.window_rollup`.
 
     Output columns match the batch twin exactly:
-    ``(window_start_us, event_type, n, sum_value)``.
+    ``(window_start_us, event_type, n, sum_value_cents)`` — value folded
+    as integer cents, so the cross-batch state merge is exact.
     """
     ts = F.col(ts_col).cast("timestamp")
     return (
         events.select(
             ts.alias("_wm_ts"),
             F.col(type_col).alias("event_type"),
-            F.col(value_col).cast("double").alias("value"),
+            F.round(F.col(value_col).cast("double") * 100)
+            .cast("long")
+            .alias("value_cents"),
         )
         .withWatermark("_wm_ts", f"{int(lateness_s)} seconds")
         .groupBy(
@@ -69,13 +72,13 @@ def streaming_window_rollup(
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("value_cents").alias("sum_value_cents"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_cents",
         )
     )
 

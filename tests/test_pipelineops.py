@@ -34,10 +34,10 @@ class TestSessionize:
             ],
         )
         out = {
-            (r.user_id, r.session_seq): (r.n_events, r.total_value)
+            (r.user_id, r.session_seq): (r.n_events, r.total_value_cents)
             for r in pipelineops.sessionize(ev, gap_s=300).collect()
         }
-        assert out == {(7, 1): (2, 3.0), (7, 2): (1, 4.0), (8, 1): (1, 8.0)}
+        assert out == {(7, 1): (2, 300), (7, 2): (1, 400), (8, 1): (1, 800)}
 
     def test_tie_on_timestamp_breaks_by_event_id(self, spark):
         ev = _events(spark, [(2, _ts(0), 7, 1.0), (1, _ts(0), 7, 1.0)])
@@ -63,13 +63,13 @@ class TestWindowRollup:
             "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
         )
         out = {
-            (r.window_start_us, r.event_type): (r.n, r.sum_value)
+            (r.window_start_us, r.event_type): (r.n, r.sum_value_cents)
             for r in pipelineops.window_rollup(ev, window_s=300).collect()
         }
         base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
-        assert out[(base, "a")] == (2, 4.0)
-        assert out[(base + 300_000_000, "a")] == (1, 1.0)
-        assert out[(base, "b")] == (1, 9.0)
+        assert out[(base, "a")] == (2, 400)
+        assert out[(base + 300_000_000, "a")] == (1, 100)
+        assert out[(base, "b")] == (1, 900)
 
 
 class TestRepetitionStats:
@@ -267,10 +267,10 @@ def test_token_entropy_bounds(spark):
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r for r in pipelineops.token_entropy(docs).collect()}
-    assert got[0]["token_entropy"] == 0.0          # zero diversity
+    assert got[0]["entropy_ppm"] == 0             # zero diversity
     import math
 
-    assert abs(got[1]["token_entropy"] - math.log(4)) < 1e-6  # uniform max
+    assert got[1]["entropy_ppm"] == round(math.log(4) * 1_000_000)  # uniform max
     assert got[0]["n_tokens"] == got[1]["n_tokens"] == 4
 
 
@@ -510,7 +510,7 @@ def test_mixture_weights_fracs_sum_to_one(spark):
     assert {(r["lang"], r["source"]): r["n_tokens"] for r in rows} == {
         ("en", "a"): 3, ("en", "b"): 2, ("fr", "a"): 1,
     }
-    assert abs(sum(r["token_frac"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["token_frac_ppm"] for r in rows) - 1_000_000) <= len(rows)
 
 
 def test_length_stats_approx_exact_regime_matches_sorted_percentiles(spark):

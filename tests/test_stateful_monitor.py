@@ -117,14 +117,14 @@ def test_streaming_sessionize_cross_batch(spark, tmp_path):
     )
     q.awaitTermination()
     got = {
-        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us, r.total_value)
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us, r.total_value_cents)
         for r in spark.read.parquet(out_dir).collect()
     }
     # closed sessions only: user 7's session 1 (3 events across batches,
     # closed by the minute-30 event) and user 8's session 1
     all_events = spark.createDataFrame(b1 + b2, schema)
     batch = {
-        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us, r.total_value)
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us, r.total_value_cents)
         for r in pipelineops.sessionize(all_events, gap_s=300).collect()
     }
     assert got == {k: v for k, v in batch.items() if k in got}  # value parity

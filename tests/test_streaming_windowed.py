@@ -70,7 +70,7 @@ def test_streaming_window_rollup_watermark(spark, tmp_path):
     q.awaitTermination()
 
     got = {
-        (r.window_start_us, r.event_type): (r.n, r.sum_value)
+        (r.window_start_us, r.event_type): (r.n, r.sum_value_cents)
         for r in spark.read.parquet(out_dir).collect()
     }
     closed_starts = {w for (w, _t) in got}
@@ -90,7 +90,7 @@ def test_streaming_window_rollup_watermark(spark, tmp_path):
     # the too-late row), restricted to the closed windows → exact parity
     admitted = [r for r in b1 + b2 + b3 + b4 if r[0] != 5]
     twin = {
-        (r.window_start_us, r.event_type): (r.n, r.sum_value)
+        (r.window_start_us, r.event_type): (r.n, r.sum_value_cents)
         for r in pipelineops.window_rollup(
             spark.createDataFrame(admitted, SCHEMA), window_s=600
         ).collect()
@@ -101,7 +101,7 @@ def test_streaming_window_rollup_watermark(spark, tmp_path):
     # the late row was dropped, not merged: W0/'a' counts 2 events (ids
     # 1 and 3), total 5.0 — not 3 events / 105.0
     w0a = [(w, t) for (w, t) in got if t == "a" and (w, "b") in got][0]
-    assert got[w0a] == (2, 5.0)
+    assert got[w0a] == (2, 500)
 
 
 def test_streaming_dedup_exact_first_arrival_and_batch_parity(spark, tmp_path):
