@@ -35,15 +35,18 @@ Mechanism (all distributive-aggregate delta math, no recompute):
 
 Supported aggregates — the self-maintainable (distributive) family:
 ``count`` (live rows), ``count_col`` (non-NULL values), ``sum``,
-``avg`` (maintained as sum + non-NULL count), plus **insert-monotone**
-``min``/``max``.  The extrema are not retractable — deleting or
-updating the current minimum would force an O(group) recompute against
-a base bucketed by ITS keys, not the view's groups — so a refresh
-carrying them first proves the range is pure-insert (the changed keys
-have NO old images at the from-version; one tiny guarded action) and
-raises otherwise.  That makes them safe exactly where they are wanted:
-append-only event/fact tables.  For churned bases, declare the view
-over a derived table keyed by the group instead.
+``avg`` (maintained as sum + non-NULL count), plus ``min``/``max``.
+The extrema are not self-maintainable under deletes (the classic IVM
+result: retracting the current minimum needs data no delta carries), so
+they run two-tier: a pure-insert refresh range (the changed keys have
+NO old images at the from-version — one tiny guarded action proves it)
+keeps the monotone ``least``/``greatest`` delta path at O(|changes|);
+a churned range recomputes the extremal columns for EXACTLY the
+churned groups from the base snapshot at ``to_v`` — one narrow-column
+scan folded only over those groups' rows, additive columns and
+untouched groups still pure delta.  Append-only fact tables therefore
+never pay the scan; for workloads that retract extrema every tick, key
+a derived table by the group instead so the recompute prunes.
 
 SQL NULL semantics are preserved: each ``sum``/``avg`` also maintains
 its non-NULL input count, and :func:`read_aggregate_view` renders the
@@ -92,12 +95,10 @@ class Agg:
     ``name``: the output column (must be unique, and distinct from the
     group columns).
 
-    ``min``/``max`` are insert-monotone, not retractable: a refresh
-    range that touches EXISTING keys (updates or deletes — i.e. the
-    changed keys have old images at the from-version) raises instead of
-    committing a possibly-stale extremum.  Use them on append-only
-    bases (event/fact tables); for churned bases, declare the view over
-    a derived table keyed by the group instead.
+    ``min``/``max`` are delta-maintained on pure-insert refresh ranges;
+    a range that touches EXISTING keys (updates or deletes) triggers a
+    recompute of the extremal columns for the churned groups only — see
+    the module docstring for the cost model.
     """
 
     kind: str
@@ -118,7 +119,8 @@ def _storage_cols(aggs: list[Agg]) -> list[tuple[str, str]]:
 
     Contribution kinds: ``rows`` (count of rows), ``nn:<col>`` (count of
     non-NULL <col>), ``sum:<col>`` (NULL-skipping sum), ``min:<col>`` /
-    ``max:<col>`` (insert-monotone extrema).
+    ``max:<col>`` (extrema: delta on insert-only ranges, churned-group
+    recompute otherwise).
     """
     out: list[tuple[str, str]] = [(_CNT, "rows")]
     for a in aggs:
@@ -219,6 +221,68 @@ def _nullsafe_outer_combine(
     )
 
 
+def _overwrite_extrema(
+    base: LakeTable,
+    merged: DataFrame,
+    churned: DataFrame,
+    group_cols: list[str],
+    storage: list[tuple[str, str]],
+    need: list[str],
+    to_v: int,
+) -> DataFrame:
+    """Replace the extremal storage columns of the churned groups with
+    values recomputed from the base snapshot at ``to_v``.
+
+    The recompute relation is the base head narrowed to the view's input
+    columns, NULL-safe-semi-joined (broadcast) to the churned group set,
+    and folded per group — O(one narrow scan + churned groups' rows),
+    additive columns untouched.  A churned group with no live rows at
+    head simply has no recompute row; its ``__cnt`` delta is ≤ 0, so the
+    caller tombstones it and the stale extremum never surfaces."""
+    extremal = [(n, c) for n, c in storage if _is_extremal(c)]
+    rec_exprs = [
+        (F.min if c.startswith("min:") else F.max)(c[4:]).alias(n)
+        for n, c in extremal
+    ]
+    ch = churned.alias("__g")
+    head = base.read(version=to_v, columns=need).alias("__h")
+    sem = functools.reduce(
+        operator.and_,
+        [F.col(f"__h.{g}").eqNullSafe(F.col(f"__g.{g}")) for g in group_cols],
+    )
+    rec = (
+        head.join(F.broadcast(ch), sem, "left_semi")
+        .groupBy(*group_cols)
+        .agg(*rec_exprs)
+        .select(
+            *group_cols,
+            F.lit(True).alias("__rec"),
+            *[F.col(n).alias(f"__rec_{n}") for n, _ in extremal],
+        )
+    )
+    m = merged.alias("__m")
+    r = rec.alias("__r")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"__m.{g}").eqNullSafe(F.col(f"__r.{g}")) for g in group_cols],
+    )
+    ex_names = {n for n, _ in extremal}
+    return m.join(F.broadcast(r), cond, "left").select(
+        *[F.col(f"__m.{g}").alias(g) for g in group_cols],
+        *[
+            # the marker (not the value) gates the overwrite: a churned
+            # group whose live inputs are all NULL must become NULL, not
+            # keep the stale pre-retraction extremum
+            F.when(F.col("__r.__rec"), F.col(f"__r.__rec_{n}"))
+            .otherwise(F.col(f"__m.{n}"))
+            .alias(n)
+            if n in ex_names
+            else F.col(f"__m.{n}").alias(n)
+            for n, _ in storage
+        ],
+    )
+
+
 def _input_columns(group_cols: list[str], aggs: list[Agg]) -> list[str]:
     """The only base columns the view reads — passed as read(columns=)
     so the scans are as narrow as the view (the LWW fold otherwise
@@ -307,6 +371,7 @@ def refresh_aggregate_view(
     need = _input_columns(group_cols, aggs)
     changed = base.read_changes(from_v, to_v, columns=need).persist()
     delta = None
+    churned = None
     try:
         key_cols = base.key_columns
         changed_keys = changed.select(*key_cols).distinct()
@@ -329,18 +394,21 @@ def refresh_aggregate_view(
 
         storage = _storage_cols(aggs)
         extremal = [(n, c) for n, c in storage if _is_extremal(c)]
-        if extremal:
-            # min/max are insert-monotone only: any changed key with an old
-            # image (an update or delete of an existing row) could retract
-            # the current extremum, which a delta refresh cannot express —
-            # fail loudly instead of committing a possibly-stale view
-            if old.limit(1).count() > 0:
-                raise ValueError(
-                    "refresh range touches existing keys, which min/max "
-                    f"aggregates ({[n for n, _ in extremal]}) cannot "
-                    "retract; re-bootstrap the view or drop the extremal "
-                    "aggregates (Agg docstring has the rationale)"
-                )
+        # min/max retraction (round-5): an update/delete of an existing
+        # key could retract a group's current extremum, which no delta
+        # can express (MIN/MAX are not self-maintainable under deletes —
+        # the classic IVM result).  The fix is surgical: the groups whose
+        # keys have OLD images (and only those) get their extremal
+        # columns recomputed from the base snapshot at to_v; every other
+        # group — and every additive column everywhere — keeps the pure
+        # O(|changes|) delta path.  Cost on a churned range: ONE
+        # narrow-column scan of the base folded only over the churned
+        # groups' rows (the base is bucketed by its keys, so group
+        # pruning is impossible by construction; for workloads that
+        # retract extrema every tick, key a derived table by the group
+        # instead).  Pure-insert ranges skip this block entirely.
+        if extremal and old.limit(1).count() > 0:
+            churned = old.select(*group_cols).distinct().persist()
         exprs = _contrib_exprs(aggs)
         store = [n for n, _ in storage]
         plus = new_live.groupBy(*group_cols).agg(*exprs)
@@ -370,6 +438,11 @@ def refresh_aggregate_view(
         # |touched groups| tiny rows — persist it instead of re-scanning
         delta = delta.persist()
         touched = delta.select(*group_cols).distinct()
+        if churned is not None:
+            # churned groups may have a zero additive delta (e.g. an
+            # update that only moved the extremal input) — they must
+            # still reach the view point read and the overwrite below
+            touched = touched.union(churned).distinct()
         current = view.read(
             buckets=view.buckets_for_keys(touched), semi_keys=touched
         ).select(*group_cols, *store)
@@ -389,6 +462,10 @@ def refresh_aggregate_view(
                 for n, c in storage
             ],
         )
+        if churned is not None:
+            merged = _overwrite_extrema(
+                base, merged, churned, group_cols, storage, need, to_v
+            )
         dead = F.col(_CNT) <= 0
         batch = merged.select(
             *group_cols,
@@ -402,12 +479,15 @@ def refresh_aggregate_view(
     finally:
         if delta is not None:
             delta.unpersist()
+        if churned is not None:
+            churned.unpersist()
         changed.unpersist()
     return {
         "skipped": bool(summary.get("skipped")),
         "from_version": from_v,
         "to_version": to_v,
         "view_version": summary.get("version"),
+        "extremal_recompute": churned is not None,
     }
 
 

@@ -218,17 +218,92 @@ def test_minmax_on_append_only_base(spark, tmp_path):
     assert got == _round(_minmax_oracle(base))
 
 
-def test_minmax_refresh_raises_on_churn(spark, tmp_path):
-    """A refresh range that updates or deletes EXISTING keys cannot
-    retract an extremum — it must raise, not commit a stale view."""
+def test_minmax_retracts_deleted_minimum(spark, tmp_path):
+    """Deleting a group's current minimum refreshes to the TRUE new min
+    (round-5: churned groups recompute from the base head instead of
+    raising), and the refresh reports the recompute path."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
+    base.merge_into(
+        _batch(spark, [(1, "a", 1.0, 0), (2, "a", 5.0, 0), (3, "b", 7.0, 0)], 100),
+        epoch_id="e1",
+    )
+    view = bootstrap_aggregate_view(
+        spark, base, str(tmp_path / "v"), ["g"], MINMAX_AGGS
+    )
+    # delete the current min of 'a'; 'b' untouched
+    base.merge_into(_batch(spark, [(1, None, None, 1)], 200), epoch_id="e2")
+    res = refresh_aggregate_view(base, view, MINMAX_AGGS)
+    assert res["extremal_recompute"] is True
+    got = _round(read_aggregate_view(view, MINMAX_AGGS).collect())
+    assert got == _round(_minmax_oracle(base))
+    assert ("a", 1, 5.0, 5.0) in got
+
+
+def test_minmax_update_moves_only_extremal_input(spark, tmp_path):
+    """An update that changes ONLY x (count delta zero) must still be
+    caught: the churned group reaches the overwrite via the churned-set
+    union, not the additive-delta filter."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
+    base.merge_into(
+        _batch(spark, [(1, "a", 3.0, 0), (2, "a", 8.0, 0)], 100), epoch_id="e1"
+    )
+    view = bootstrap_aggregate_view(
+        spark, base, str(tmp_path / "v"), ["g"], MINMAX_AGGS
+    )
+    base.merge_into(_batch(spark, [(1, "a", 99.0, 0)], 200), epoch_id="e2")
+    res = refresh_aggregate_view(base, view, MINMAX_AGGS)
+    assert res["extremal_recompute"] is True
+    got = _round(read_aggregate_view(view, MINMAX_AGGS).collect())
+    assert got == _round(_minmax_oracle(base)) == {("a", 2, 8.0, 99.0)}
+
+
+def test_minmax_churn_equals_full_recompute_mixed(spark, tmp_path):
+    """Mixed range — inserts into fresh groups + churn in others, group
+    migration, a group dying, all-NULL survivors — ≡ full recompute."""
+    base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
+    base.merge_into(
+        _batch(
+            spark,
+            [(1, "a", 1.0, 0), (2, "a", 5.0, 0), (3, "b", 2.0, 0), (4, "c", None, 0)],
+            100,
+        ),
+        epoch_id="e1",
+    )
+    view = bootstrap_aggregate_view(
+        spark, base, str(tmp_path / "v"), ["g"], MINMAX_AGGS
+    )
+    base.merge_into(
+        _batch(
+            spark,
+            [
+                (1, "b", 0.5, 0),   # migrates a→b AND becomes b's new min
+                (3, None, None, 1),  # delete b's old row
+                (5, "d", -9.0, 0),  # fresh group (pure insert)
+                (2, None, None, 1),  # 'a' shrinks to nothing → dies
+            ],
+            200,
+        ),
+        epoch_id="e2",
+    )
+    refresh_aggregate_view(base, view, MINMAX_AGGS)
+    got = _round(read_aggregate_view(view, MINMAX_AGGS).collect())
+    assert got == _round(_minmax_oracle(base))
+    assert "a" not in {r[0] for r in got}  # dead group tombstoned
+
+
+def test_minmax_pure_insert_skips_recompute(spark, tmp_path):
+    """Append-only ranges keep the O(|changes|) monotone path — no
+    head scan (reported via extremal_recompute=False)."""
     base = LakeTable.create(spark, str(tmp_path / "b"), SCHEMA, ["k"], num_buckets=4)
     base.merge_into(_batch(spark, [(1, "a", 3.0, 0)], 100), epoch_id="e1")
     view = bootstrap_aggregate_view(
         spark, base, str(tmp_path / "v"), ["g"], MINMAX_AGGS
     )
-    base.merge_into(_batch(spark, [(1, "a", 99.0, 0)], 200), epoch_id="e2")
-    with pytest.raises(ValueError, match="cannot\\s+retract"):
-        refresh_aggregate_view(base, view, MINMAX_AGGS)
+    base.merge_into(_batch(spark, [(2, "a", 1.0, 0)], 200), epoch_id="e2")
+    res = refresh_aggregate_view(base, view, MINMAX_AGGS)
+    assert res["extremal_recompute"] is False
+    got = _round(read_aggregate_view(view, MINMAX_AGGS).collect())
+    assert got == _round(_minmax_oracle(base)) == {("a", 2, 1.0, 3.0)}
 
 
 def test_unknown_kind_rejected():

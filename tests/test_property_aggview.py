@@ -33,6 +33,10 @@ AGGS = [
     Agg("count", None, "n"),
     Agg("sum", "x", "sx"),
     Agg("count_col", "x", "nx"),
+    # extrema under churn: random deletes/updates exercise the round-5
+    # churned-group recompute path on every refresh
+    Agg("min", "x", "mn"),
+    Agg("max", "x", "mx"),
 ]
 
 GROUPS = ["a", "b", None]
@@ -55,11 +59,17 @@ batches = st.lists(
 def _oracle(live: dict[int, tuple]) -> set[tuple]:
     per_group: dict = {}
     for g, x in live.values():
-        n, sx, nx = per_group.get(g, (0, 0, 0))
-        per_group[g] = (n + 1, sx + (x or 0), nx + (0 if x is None else 1))
+        n, sx, nx, mn, mx = per_group.get(g, (0, 0, 0, None, None))
+        per_group[g] = (
+            n + 1,
+            sx + (x or 0),
+            nx + (0 if x is None else 1),
+            mn if x is None else (x if mn is None else min(mn, x)),
+            mx if x is None else (x if mx is None else max(mx, x)),
+        )
     return {
-        (g, n, (sx if nx > 0 else None), nx)
-        for g, (n, sx, nx) in per_group.items()
+        (g, n, (sx if nx > 0 else None), nx, mn, mx)
+        for g, (n, sx, nx, mn, mx) in per_group.items()
     }
 
 

@@ -10,7 +10,8 @@ beside) the replay job::
         <group_col[,group_col...]> [agg_spec[,agg_spec...]]
 
 ``agg_spec`` is ``kind:col:name`` (``count::n`` takes no input column;
-kinds: count / count_col / sum / avg / min / max — the extrema are insert-monotone; refresh raises on churned ranges).  Default:
+kinds: count / count_col / sum / avg / min / max — extrema delta-maintain on
+insert-only ranges and recompute only the churned groups otherwise).  Default:
 ``count::n_rows,sum:size_bytes:sum_size`` falls back to plain
 ``count::n_rows`` when the base has no ``size_bytes`` column.
 
