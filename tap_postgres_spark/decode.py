@@ -168,6 +168,120 @@ def discover_columns(classified: DataFrame, fqn: str) -> list[tuple[str, str]]:
     return [(r["name"], r["type"]) for r in rows]
 
 
+def _field_expr(field: T.StructField, pg_type: str, vals: Column) -> Column:
+    """Typed decode expression for one column from the (name → value)
+    event map: per-value coercions from the reference's
+    ``_parse_column_value`` (client.py:596-624)."""
+    raw_val = vals.getItem(field.name)
+    # numeric ""→NULL (client.py:621-623)
+    if is_numeric_pg_type(pg_type):
+        raw_val = F.when(raw_val == "", F.lit(None)).otherwise(raw_val)
+    if isinstance(field.dataType, T.ArrayType):
+        # PG array literal '{a,b,"c d"}' → array (client.py:608-619)
+        col = parse_pg_array(raw_val)
+        if not isinstance(field.dataType.elementType, T.StringType):
+            col = col.cast(field.dataType)
+    elif isinstance(field.dataType, T.MapType):
+        if pg_type in ("json", "jsonb"):
+            # json_as_object mode (client.py:91-102): JSON text → map
+            col = F.from_json(raw_val, field.dataType)
+        else:
+            # hstore literal '"k"=>"v"' (client.py:118-124)
+            col = parse_hstore(raw_val)
+    elif isinstance(field.dataType, T.StructType):
+        # declared-shape JSON column (json_as_object with a concrete
+        # schema — the flatten()-ready form): parse, don't cast
+        col = F.from_json(raw_val, field.dataType)
+    elif isinstance(field.dataType, T.BinaryType):
+        # bytea hex literal '\x<hex>'
+        col = parse_bytea_hex(raw_val)
+    else:
+        col = raw_val.cast(field.dataType)
+    return col
+
+
+def _coercion_tag(field: T.StructField, pg_type: str) -> tuple:
+    """Identity of the decode expression :func:`_field_expr` builds —
+    two streams may share a fused decode column iff their tags match."""
+    return (
+        field.dataType.json(),
+        bool(is_numeric_pg_type(pg_type)),
+        pg_type in ("json", "jsonb")
+        if isinstance(field.dataType, T.MapType)
+        else None,
+    )
+
+
+def decode_projection_multi(
+    classified: DataFrame,
+    streams: list,
+    pg_types_by_fqn: dict[str, dict[str, str]],
+    *,
+    batch_time: datetime | None = None,
+):
+    """ONE decode projection covering every registered stream — the
+    fused-decode half of the grouped multi-stream merge
+    (lake/grouped.py).
+
+    The per-stream :func:`decode_projection` applied N times makes N
+    full passes over the parsed batch (each branch re-reads the cached
+    envelope just to decode its own slice); this builds a single
+    projection over the UNION of the streams' column sets instead.  A
+    wal2json event only carries its own table's columns, so
+    ``map.getItem(name)`` is naturally NULL for every foreign column —
+    no per-stream masking needed.  Emits ``__gidx`` (the stream's index
+    in ``streams``) for routing/partitioning downstream.
+
+    Returns ``(projected, union_fields)`` or ``None`` when two streams
+    carry the same column name with different types/coercions (the
+    fused expression would be ambiguous) — callers fall back to
+    per-stream decodes.
+    """
+    batch_time = batch_time or datetime.now(timezone.utc)
+    is_delete = F.col("_env.action") == "D"
+    vals = F.when(is_delete, F.map_from_entries(F.col("_env.identity"))).otherwise(
+        F.map_from_entries(F.col("_env.columns"))
+    )
+
+    union_fields: list[T.StructField] = []
+    tags: dict[str, tuple] = {}
+    pg_for: dict[str, str] = {}
+    for s in streams:
+        pg_types = pg_types_by_fqn.get(s.fqn, {})
+        for field in s.spark_schema.fields:
+            if field.name in (SDC_LSN, SDC_DELETED_AT):
+                continue
+            pg_type = pg_types.get(field.name, "text")
+            tag = _coercion_tag(field, pg_type)
+            seen = tags.get(field.name)
+            if seen is None:
+                tags[field.name] = tag
+                pg_for[field.name] = pg_type
+                union_fields.append(field)
+            elif seen != tag:
+                return None  # conflicting decode for one name
+
+    out_cols: list[Column] = [
+        _field_expr(f, pg_for[f.name], vals).alias(f.name) for f in union_fields
+    ]
+    out_cols.append(F.col("lsn").alias(SDC_LSN))
+    out_cols.append(
+        F.when(is_delete, sdc_deleted_at_literal(batch_time))
+        .otherwise(F.lit(None).cast("string"))
+        .alias(SDC_DELETED_AT)
+    )
+    out_cols.append(F.col("_env.action").alias("_action"))
+    out_cols.append(F.col("txid"))
+    out_cols.append(F.col("_status").alias("__status"))
+    out_cols.append(F.col("_fqn").alias("__fqn"))
+    out_cols.append(F.size(F.col("_env.columns")).alias("__ncols"))
+    gidx = F.lit(None).cast("int")
+    for i in reversed(range(len(streams))):
+        gidx = F.when(F.col("_fqn") == streams[i].fqn, F.lit(i)).otherwise(gidx)
+    out_cols.append(gidx.alias("__gidx"))
+    return classified.select(*out_cols), union_fields
+
+
 def decode_projection(
     classified: DataFrame,
     stream: StreamDef,
@@ -206,32 +320,7 @@ def decode_projection(
         if field.name in (SDC_LSN, SDC_DELETED_AT):
             continue
         pg_type = pg_types.get(field.name, "text")
-        raw_val = vals.getItem(field.name)
-        # numeric ""→NULL (client.py:621-623)
-        if is_numeric_pg_type(pg_type):
-            raw_val = F.when(raw_val == "", F.lit(None)).otherwise(raw_val)
-        if isinstance(field.dataType, T.ArrayType):
-            # PG array literal '{a,b,"c d"}' → array (client.py:608-619)
-            col = parse_pg_array(raw_val)
-            if not isinstance(field.dataType.elementType, T.StringType):
-                col = col.cast(field.dataType)
-        elif isinstance(field.dataType, T.MapType):
-            if pg_type in ("json", "jsonb"):
-                # json_as_object mode (client.py:91-102): JSON text → map
-                col = F.from_json(raw_val, field.dataType)
-            else:
-                # hstore literal '"k"=>"v"' (client.py:118-124)
-                col = parse_hstore(raw_val)
-        elif isinstance(field.dataType, T.StructType):
-            # declared-shape JSON column (json_as_object with a concrete
-            # schema — the flatten()-ready form): parse, don't cast
-            col = F.from_json(raw_val, field.dataType)
-        elif isinstance(field.dataType, T.BinaryType):
-            # bytea hex literal '\x<hex>'
-            col = parse_bytea_hex(raw_val)
-        else:
-            col = raw_val.cast(field.dataType)
-        out_cols.append(col.alias(field.name))
+        out_cols.append(_field_expr(field, pg_type, vals).alias(field.name))
 
     out_cols.append(F.col("lsn").alias(SDC_LSN))
     out_cols.append(

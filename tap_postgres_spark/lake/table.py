@@ -957,6 +957,27 @@ class LakeTable:
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
 
+        return self._commit_delta(
+            meta, new_version, new_schema, written, buckets, buckets_delta,
+            epoch_id, f"merge-{mode}",
+        )
+
+    def _commit_delta(
+        self,
+        meta: dict[str, Any],
+        new_version: int,
+        new_schema: T.StructType,
+        written: dict[str, list[str]],
+        buckets: dict[str, list[str]],
+        buckets_delta: dict[str, Any] | None,
+        epoch_id: str | None,
+        operation: str,
+    ) -> dict[str, Any]:
+        """Driver-side commit of already-written delta files: footer
+        stats, lineage summary, metadata pointer swap.  Shared by
+        :meth:`merge_into` and the grouped multi-stream commit
+        (lake/grouped.py), whose data files land via one fused write
+        job before each table commits its own slice here."""
         committed = dict(meta["committed_epochs"])
         if epoch_id is not None:
             committed[epoch_id] = new_version
@@ -979,7 +1000,7 @@ class LakeTable:
             if wm is not None:
                 bucket_watermarks[b] = int(wm)
         summary = {
-            "operation": f"merge-{mode}",
+            "operation": operation,
             "epoch_id": epoch_id,
             "rows_written": rows_written,
             "buckets_written": sorted(written.keys(), key=int),

@@ -104,6 +104,7 @@ class CdcPipeline:
         txn_boundary_dir: str | None = None,
         snapshots_dir: str | None = None,
         changefeed_dir: str | None = None,
+        grouped_commit: bool | None = None,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -139,6 +140,17 @@ class CdcPipeline:
         # >50% idle on 32 cores (measured) — each stream's fold/write is
         # too narrow alone.
         self.concurrent_merges = max(1, int(concurrent_merges))
+        # fuse the N per-stream MOR merges of a batch into ONE Spark job
+        # (lake/grouped.py): the round-4 profile showed 8-stream
+        # small-batch throughput is bounded by per-JOB fixed overhead
+        # (analysis + codegen + scheduling + write-commit protocol ×N),
+        # not by compute.  Default on for multi-stream MOR pipelines;
+        # SPARK_GRAFT_GROUPED_COMMIT=0 restores the per-stream path.
+        if grouped_commit is None:
+            grouped_commit = (
+                os.environ.get("SPARK_GRAFT_GROUPED_COMMIT", "1") != "0"
+            )
+        self.grouped_commit = bool(grouped_commit)
         # transaction-boundary atomicity: when set, apply_batch defers
         # data rows of transactions whose commit marker hasn't arrived
         # yet, so a committed batch never exposes half a transaction
@@ -306,10 +318,38 @@ class CdcPipeline:
         # full LEAN_SCHEMA parse happens exactly once, here
         envelope = raw if "_env" in raw.columns else parse_raw_payloads(raw)
         classified = classify(envelope, fqns)
+        # fused multi-stream merge (lake/grouped.py): ONE decode + fold +
+        # write job for all streams instead of N per-stream merge jobs —
+        # the round-4 profile showed the 8-stream small-batch gap is N×
+        # duplicated batch scans plus per-job fixed overhead.  prepare is
+        # driver-only (metadata + schema checks); None → classic path.
+        fused_plan = None
+        if (
+            self.grouped_commit
+            and len(self.streams) > 1
+            and self.merge_mode == "mor"
+            and not self.stream_maps
+        ):
+            from ..lake.grouped import prepare_grouped_fused
+
+            fused_plan = prepare_grouped_fused(
+                self.spark,
+                classified,
+                list(self.streams.values()),
+                self.pg_types,
+                self.tables,
+                {fqn: f"{epoch_id}:{fqn}" for fqn in fqns},
+                {fqn: self.state.bookmark(fqn) for fqn in fqns},
+                staging_root=os.path.join(self.tables[fqns[0]].path, "_staging"),
+                batch_time=batch_time,
+            )
         # caching the parsed batch only pays off when several streams will
-        # re-scan it; for the single-stream flagship path a re-parse is
-        # cheaper than materializing nested structs into the block store
-        cache = len(self.streams) > 1
+        # re-scan it; the fused plan scans it exactly ONCE (its rare
+        # re-readers — dead-letter quarantine, evolution discovery — are
+        # cheaper as a re-parse than every batch paying the cache write),
+        # and for the single-stream flagship path a re-parse is cheaper
+        # than materializing nested structs into the block store
+        cache = len(self.streams) > 1 and fused_plan is None
         if cache:
             classified = classified.persist()
         try:
@@ -339,19 +379,29 @@ class CdcPipeline:
             observed_df = None
             obs_fired = False
             merge_jobs: list[tuple[str, Any, bool]] = []
-            for fqn, stream in list(self.streams.items()):
-                proj = decode_projection(
-                    classified,
-                    stream,
-                    self.pg_types.get(fqn, {}),
-                    batch_time=batch_time,
-                )
-                if observed_df is None:
-                    proj = observed_df = proj.observe(obs, *aggs)
-                decoded = self._apply_stream_map(
-                    finish_decode(proj, stream, self.state.bookmark(fqn)), stream
-                )
-                merge_jobs.append((fqn, decoded, proj is observed_df))
+            if fused_plan is not None:
+                from ..lake.grouped import execute_grouped_fused
+
+                # metrics ride the fused projection — same aggs, one
+                # plan; fires iff any stream's slice actually wrote
+                observed_df = fused_plan.projected.observe(obs, *aggs)
+                results.update(execute_grouped_fused(fused_plan, observed_df))
+                obs_fired = bool(fused_plan.executed_fqns)
+            else:
+                for fqn, stream in list(self.streams.items()):
+                    proj = decode_projection(
+                        classified,
+                        stream,
+                        self.pg_types.get(fqn, {}),
+                        batch_time=batch_time,
+                    )
+                    if observed_df is None:
+                        proj = observed_df = proj.observe(obs, *aggs)
+                    decoded = self._apply_stream_map(
+                        finish_decode(proj, stream, self.state.bookmark(fqn)),
+                        stream,
+                    )
+                    merge_jobs.append((fqn, decoded, proj is observed_df))
 
             def _merge(fqn: str, decoded) -> dict[str, Any]:
                 # per-stream scheduler pool: under spark.scheduler.mode=
