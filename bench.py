@@ -215,8 +215,15 @@ def bench_cdc_replay(spark, sf: float, work_dir: str, n_batches: int) -> dict:
         # (keep_last=4 expires the earliest merge versions here), so the
         # headline number includes the third maintenance op, not just
         # compaction.
+        if len(tables) > 1:
+            # fold every table's delta tier in ONE job (lake/grouped.py)
+            from tap_postgres_spark.lake.grouped import compact_grouped
+
+            compact_grouped(spark, tables, max_delta_depth=1)
+        else:
+            for t in tables.values():
+                t.compact(max_delta_depth=1, include_base=False)
         for t in tables.values():
-            t.compact(max_delta_depth=1, include_base=False)
             t.expire_versions(keep_last=4)
         elapsed = time.time() - t0
         d = [b - a for a, b in zip(c0, cpu_snap())]
@@ -524,6 +531,21 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
         return round(time.time() - t0, 3)
 
     fns = entry_mod.queries()
+    # load gate (round-4 verdict #6): the r04 sweep started at load1 9.9
+    # and carried a uniform ~1.4x noise penalty into the artifact.  Wait
+    # for load1 < 4 (the CDC samples' quiet threshold), bounded; if the
+    # bound expires, proceed and say so in the certificate.
+    gate_limit = float(os.environ.get("SPARK_GRAFT_SWEEP_LOAD_GATE", "4"))
+    gate_wait_max = float(os.environ.get("SPARK_GRAFT_SWEEP_GATE_WAIT_S", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] >= gate_limit and waited < gate_wait_max:
+        time.sleep(10)
+        waited += 10
+    gate = {
+        "limit": gate_limit,
+        "waited_s": round(waited, 1),
+        "proceeded_loaded": os.getloadavg()[0] >= gate_limit,
+    }
     load_start = round(os.getloadavg()[0], 1)
     out = {name: one(fn) for name, fn in fns.items()}
     med = sorted(out.values())[len(out) // 2] if out else 0.0
@@ -537,6 +559,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     cert = {
         "load1_start": load_start,
         "load1_end": round(os.getloadavg()[0], 1),
+        "load_gate": gate,
         "retime_threshold_s": round(threshold, 3),
         "retimed": retimed,
     }

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..decode import STATUS_OK, decode_projection_multi
+from ..operators.lww import fold_last_writer_wins_agg
 from ..schema import SDC_DELETED_AT, SDC_LSN, merge_schemas
 from .table import _BUCKET, SDC_GEN, LakeTable
 
@@ -266,6 +267,180 @@ def execute_grouped_fused(
                 "merge-mor",
             )
             plan.executed_fqns.append(p["fqn"])
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return results
+
+
+def compact_grouped(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    max_delta_depth: int = 1,
+    *,
+    include_base: bool = False,
+) -> dict[str, dict[str, Any]]:
+    """TIERED compaction of N tables in ONE Spark job.
+
+    Per-table :meth:`LakeTable.compact` is a separate action per table —
+    at 8 streams the end-of-batch maintenance pays 8× the per-job fixed
+    overhead for folds that are each tiny.  This builds every table's
+    delta-tier fold (same relation ``compact`` folds: everything after
+    each over-depth bucket's oldest dir, LWW by ``(lsn, gen)``), tags it
+    with ``__gidx``, unions, writes once via ``partitionBy(__gidx,
+    _bucket)`` and commits per table with ``compact``'s exact bucket-map
+    semantics.  Unlike the merge path there is no shared input to
+    re-scan — each branch reads its own files — so the only fused cost
+    is the write; branch folds run as concurrent stages of the one job.
+
+    Tombstone dropping is not offered here because tiered mode refuses
+    it (see ``compact``); tables needing a FULL compact keep using
+    ``compact(include_base=True, drop_tombstones_below=...)``.
+
+    Tables whose column names collide at different types fall back to
+    their own ``compact()`` call (same result, one extra job each).
+    """
+    results: dict[str, dict[str, Any]] = {}
+    prepared: list[dict] = []
+    col_types: dict[str, Any] = {}
+    fallback: list[tuple[str, LakeTable]] = []
+    for idx, (fqn, table) in enumerate(tables.items()):
+        meta = table.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        key_cols = meta["key_columns"]
+        current = table.buckets_map(meta["version"])
+        min_len = max_delta_depth if include_base else max_delta_depth + 1
+        todo = {b: dl for b, dl in current.items() if len(dl) > min_len}
+        if not todo:
+            results[fqn] = {"skipped": True, "reason": "nothing to compact"}
+            continue
+        conflict = False
+        for f in list(schema.fields) + [T.StructField(SDC_GEN, T.LongType())]:
+            seen = col_types.get(f.name)
+            if seen is not None and seen != f.dataType:
+                conflict = True
+                break
+        if conflict:
+            fallback.append((fqn, table))
+            continue
+        for f in list(schema.fields) + [T.StructField(SDC_GEN, T.LongType())]:
+            col_types[f.name] = f.dataType
+        fold_dirs = [
+            d for dl in todo.values() for d in (dl if include_base else dl[1:])
+        ]
+        df = table._read_dirs(fold_dirs, schema, with_gen=True)
+        folded = fold_last_writer_wins_agg(df, key_cols, (SDC_LSN, SDC_GEN))
+        folded = folded.withColumn(
+            _BUCKET,
+            table._bucket_expr(
+                key_cols, meta["num_buckets"], table._bucket_fn(meta)
+            ),
+        ).withColumn(_GIDX, F.lit(idx))
+        prepared.append(
+            {
+                "fqn": fqn,
+                "idx": idx,
+                "table": table,
+                "meta": meta,
+                "todo": todo,
+                "current": current,
+                "key_columns": key_cols,
+                "new_version": meta["version"] + 1,
+                "df": folded,
+            }
+        )
+    for fqn, table in fallback:
+        results[fqn] = table.compact(
+            max_delta_depth, include_base=include_base
+        )
+    if not prepared:
+        return results
+
+    union = prepared[0]["df"]
+    for p in prepared[1:]:
+        union = union.unionByName(p["df"], allowMissingColumns=True)
+    width = max(int(p["meta"]["num_buckets"]) for p in prepared)
+    union = union.repartition(width, F.col(_GIDX), F.col(_BUCKET))
+    # cluster by key within each bucket file (compact's sort_keys): the
+    # per-stream key tuple serialized to one string sorts equal keys
+    # adjacently, which is what parquet row-group min/max stats need
+    key_repr = F.lit(None).cast("string")
+    for p in prepared:
+        key_repr = F.when(
+            F.col(_GIDX) == p["idx"],
+            F.to_json(F.struct(*[F.col(c) for c in p["key_columns"]])),
+        ).otherwise(key_repr)
+    union = union.sortWithinPartitions(F.col(_GIDX), F.col(_BUCKET), key_repr)
+
+    staging = os.path.join(
+        prepared[0]["table"].path, "_staging",
+        f"compact-{uuid.uuid4().hex[:12]}",
+    )
+    try:
+        aqe_key = "spark.sql.adaptive.enabled"
+        prev_aqe = spark.conf.get(aqe_key, "true")
+        spark.conf.set(aqe_key, "false")
+        try:
+            union.write.mode("errorifexists").partitionBy(_GIDX, _BUCKET).parquet(
+                staging
+            )
+        finally:
+            spark.conf.set(aqe_key, prev_aqe)
+        for p in prepared:
+            table: LakeTable = p["table"]
+            meta, todo, current = p["meta"], p["todo"], p["current"]
+            rel_dir = table._next_data_dir(p["new_version"])
+            out_abs = os.path.join(table.path, rel_dir)
+            src = os.path.join(staging, f"{_GIDX}={p['idx']}")
+            os.makedirs(os.path.dirname(out_abs), exist_ok=True)
+            if os.path.exists(src):
+                try:
+                    os.rename(src, out_abs)
+                except OSError:
+                    shutil.move(src, out_abs)
+            else:
+                os.makedirs(out_abs, exist_ok=True)
+            written: dict[str, list[str]] = {}
+            for entry in os.listdir(out_abs):
+                if entry.startswith(f"{_BUCKET}="):
+                    b = entry.split("=", 1)[1]
+                    written[b] = [os.path.join(rel_dir, entry)]
+            buckets = {b: list(dl) for b, dl in current.items() if b not in todo}
+            for b, dl in todo.items():
+                if include_base:
+                    if b in written:
+                        buckets[b] = written[b]
+                else:
+                    buckets[b] = [dl[0]] + (written.get(b) or [])
+            buckets_delta = {
+                "set": {b: buckets[b] for b in todo if b in buckets},
+                "drop": sorted(b for b in todo if b not in buckets),
+            }
+            base = {
+                k: v for k, v in meta.items()
+                if k not in ("buckets", "buckets_delta")
+            }
+            table._write_metadata(
+                {
+                    **base,
+                    "version": p["new_version"],
+                    **table._buckets_doc(
+                        p["new_version"], buckets, buckets_delta
+                    ),
+                    "summary": {
+                        "operation": "compact",
+                        "tiered": not include_base,
+                        "buckets_compacted": sorted(todo.keys(), key=int),
+                    },
+                    "parent": meta["version"],
+                },
+                expect_parent=meta["version"],
+            )
+            table._buckets_cache[p["new_version"]] = buckets
+            results[p["fqn"]] = {
+                "skipped": False,
+                "version": p["new_version"],
+                "compacted": len(todo),
+            }
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return results

@@ -528,6 +528,7 @@ class CdcPipeline:
                 )
                 results[fqn]["evolved_columns"] = [c for c, _t in new_cols]
 
+            tiered_due: dict[str, Any] = {}
             for fqn in fqns:
                 table = self.tables[fqn]
                 if (
@@ -560,9 +561,20 @@ class CdcPipeline:
                             # keeps any in-flight writer safe
                             results[fqn]["vacuum"] = table.vacuum()
                     else:
-                        results[fqn]["compaction"] = table.compact(
-                            include_base=False
-                        )
+                        tiered_due[fqn] = table
+            if len(tiered_due) == 1:
+                fqn, table = next(iter(tiered_due.items()))
+                results[fqn]["compaction"] = table.compact(include_base=False)
+            elif tiered_due:
+                # multi-stream pipelines trip the depth trigger for every
+                # table in the same batch — fold all their delta tiers in
+                # ONE job instead of N (lake/grouped.py)
+                from ..lake.grouped import compact_grouped
+
+                for fqn, summary in compact_grouped(
+                    self.spark, tiered_due
+                ).items():
+                    results[fqn]["compaction"] = summary
 
             # Track max LSN seen as a WATERMARK only (reference
             # max_lsn_seen, wal_reader.py:208,239).  The filter bookmark

@@ -78,6 +78,25 @@ def get_spark(
         .config("spark.scheduler.mode",
                 os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR"))
     )
+    # pyspark wheels ship no libhadoop.so, so Hadoop's local filesystem
+    # forks /bin/chmod per created file (RawLocalFileSystem.setPermission
+    # → Shell.execCommand).  Profiled on the CDC write path: a 512-file
+    # commit spends ~95% of executor runtime blocked in those forks.
+    # jvm/tps-localfs.jar (source + build script in jvm/) provides a
+    # LocalFileSystem whose setPermission is a no-op; bind it when the
+    # jar exists.  SPARK_GRAFT_FAST_LOCALFS=0 opts out.  Real clusters
+    # write to HDFS/S3 where fs.file.impl is never on the data path.
+    jar = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "jvm", "tps-localfs.jar")
+    if (
+        os.path.exists(jar)
+        and os.environ.get("SPARK_GRAFT_FAST_LOCALFS", "1") != "0"
+    ):
+        builder = (
+            builder.config("spark.driver.extraClassPath", jar)
+            .config("spark.executor.extraClassPath", jar)
+            .config("spark.hadoop.fs.file.impl", "tps.FastLocalFileSystem")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

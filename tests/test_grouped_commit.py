@@ -211,3 +211,49 @@ def test_fused_type_conflict_returns_none_and_pipeline_falls_back(
     assert not any(r.get("skipped") for r in res["streams"].values())
     assert [tuple(r) for r in tables["public.t_a"].read().select("id", "v").collect()] == [("a1", "str")]
     assert [tuple(r) for r in tables["public.t_b"].read().select("id", "v").collect()] == [("b1", 7)]
+
+
+def test_compact_grouped_matches_per_table(spark, tmp_path):
+    """compact_grouped ≡ per-table compact(include_base=False): same
+    final contents, same bucket-map shape (base kept + one folded delta
+    dir), depth reduced."""
+    from tap_postgres_spark.lake.grouped import compact_grouped
+
+    def build(sub):
+        tabs = {}
+        for t, cols in (("t_a", ("v",)), ("t_b", ("w", "x"))):
+            tab = LakeTable.create(
+                spark, str(tmp_path / sub / t),
+                widen_for_cdc(_schema("id", *cols)), ["id"], num_buckets=2,
+            )
+            for i in range(4):  # 4 merge deltas per bucket
+                rows = [
+                    (f"k{j}", *[f"{c}{i}-{j}" for c in cols], 100 * i + j, None)
+                    for j in range(6)
+                ]
+                fields = (
+                    "id string, "
+                    + ", ".join(f"{c} string" for c in cols)
+                    + ", _sdc_lsn long, _sdc_deleted_at string"
+                )
+                tab.merge_into(
+                    spark.createDataFrame(rows, fields), epoch_id=f"e{i}"
+                )
+            tabs[f"public.{t}"] = tab
+        return tabs
+
+    grouped = build("g")
+    classic = build("c")
+    res = compact_grouped(spark, grouped, max_delta_depth=1)
+    for fqn, tab in classic.items():
+        r = tab.compact(max_delta_depth=1, include_base=False)
+        assert res[fqn]["skipped"] == r["skipped"] == False  # noqa: E712
+        assert res[fqn]["compacted"] == r["compacted"]
+    for fqn in grouped:
+        g = sorted(map(tuple, grouped[fqn].read().collect()))
+        c = sorted(map(tuple, classic[fqn].read().collect()))
+        assert g == c and len(g) == 6
+        assert grouped[fqn].delta_depth() == classic[fqn].delta_depth() == 2
+    # nothing left to compact → per-table skipped markers
+    res2 = compact_grouped(spark, grouped, max_delta_depth=1)
+    assert all(r["skipped"] for r in res2.values())
