@@ -40,6 +40,7 @@ from .functions import (
     repair_enum_quotes,
     sdc_deleted_at_literal,
 )
+from .plancache import memo
 from .schema import SDC_DELETED_AT, SDC_LSN, StreamDef, is_numeric_pg_type
 
 # Lean hot-path envelope: wal2json format-version=2, value-only entries.
@@ -110,12 +111,13 @@ def parse_raw_payloads(raw: DataFrame) -> DataFrame:
     deterministic vectorized pass.  The raw payload is carried along for
     the lazy full-schema evolution re-parse.
     """
-    return raw.select(
-        "lsn",
-        "txid",
-        "payload",
-        F.from_json(repair_enum_quotes(F.col("payload")), LEAN_SCHEMA).alias("_env"),
+    env = memo(
+        ("parse_raw_env",),
+        lambda: F.from_json(
+            repair_enum_quotes(F.col("payload")), LEAN_SCHEMA
+        ).alias("_env"),
     )
+    return raw.select("lsn", "txid", "payload", env)
 
 
 def classify(envelope: DataFrame, registered_fqns: list[str]) -> DataFrame:
@@ -126,18 +128,21 @@ def classify(envelope: DataFrame, registered_fqns: list[str]) -> DataFrame:
     ``from_json`` yields a null struct (or null action) on unparseable
     input → malformed (tests/test_wal_reader.py:565-580 analog).
     """
-    action = F.col("_env.action")
-    fqn = F.concat_ws(".", F.col("_env.schema"), F.col("_env.table"))
-    malformed = F.col("_env").isNull() | action.isNull()
-    status = (
-        F.when(malformed, F.lit(STATUS_MALFORMED))
-        .when(action.isin("B", "C"), F.lit(STATUS_TXN_MARKER))
-        .when(action == "T", F.lit(STATUS_TRUNCATE))
-        .when(~action.isin(*DATA_ACTIONS), F.lit(STATUS_UNKNOWN_ACTION))
-        .when(~fqn.isin(registered_fqns), F.lit(STATUS_UNROUTABLE))
-        .otherwise(F.lit(STATUS_OK))
-    )
-    return envelope.withColumns({"_fqn": fqn, "_status": status})
+    def build() -> dict[str, Column]:
+        action = F.col("_env.action")
+        fqn = F.concat_ws(".", F.col("_env.schema"), F.col("_env.table"))
+        malformed = F.col("_env").isNull() | action.isNull()
+        status = (
+            F.when(malformed, F.lit(STATUS_MALFORMED))
+            .when(action.isin("B", "C"), F.lit(STATUS_TXN_MARKER))
+            .when(action == "T", F.lit(STATUS_TRUNCATE))
+            .when(~action.isin(*DATA_ACTIONS), F.lit(STATUS_UNKNOWN_ACTION))
+            .when(~fqn.isin(registered_fqns), F.lit(STATUS_UNROUTABLE))
+            .otherwise(F.lit(STATUS_OK))
+        )
+        return {"_fqn": fqn, "_status": status}
+
+    return envelope.withColumns(memo(("classify", tuple(registered_fqns)), build))
 
 
 def batch_metrics(classified: DataFrame) -> DataFrame:
@@ -238,48 +243,74 @@ def decode_projection_multi(
     per-stream decodes.
     """
     batch_time = batch_time or datetime.now(timezone.utc)
-    is_delete = F.col("_env.action") == "D"
-    vals = F.when(is_delete, F.map_from_entries(F.col("_env.identity"))).otherwise(
-        F.map_from_entries(F.col("_env.columns"))
+
+    def build():
+        is_delete = F.col("_env.action") == "D"
+        vals = F.when(
+            is_delete, F.map_from_entries(F.col("_env.identity"))
+        ).otherwise(F.map_from_entries(F.col("_env.columns")))
+
+        union_fields: list[T.StructField] = []
+        tags: dict[str, tuple] = {}
+        pg_for: dict[str, str] = {}
+        for s in streams:
+            pg_types = pg_types_by_fqn.get(s.fqn, {})
+            for field in s.spark_schema.fields:
+                if field.name in (SDC_LSN, SDC_DELETED_AT):
+                    continue
+                pg_type = pg_types.get(field.name, "text")
+                tag = _coercion_tag(field, pg_type)
+                seen = tags.get(field.name)
+                if seen is None:
+                    tags[field.name] = tag
+                    pg_for[field.name] = pg_type
+                    union_fields.append(field)
+                elif seen != tag:
+                    return None  # conflicting decode for one name
+
+        head: list[Column] = [
+            _field_expr(f, pg_for[f.name], vals).alias(f.name)
+            for f in union_fields
+        ]
+        head.append(F.col("lsn").alias(SDC_LSN))
+        tail = [
+            F.col("_env.action").alias("_action"),
+            F.col("txid"),
+            F.col("_status").alias("__status"),
+            F.col("_fqn").alias("__fqn"),
+            F.size(F.col("_env.columns")).alias("__ncols"),
+        ]
+        gidx = F.lit(None).cast("int")
+        for i in reversed(range(len(streams))):
+            gidx = F.when(F.col("_fqn") == streams[i].fqn, F.lit(i)).otherwise(
+                gidx
+            )
+        tail.append(gidx.alias("__gidx"))
+        return head, is_delete, tail, union_fields
+
+    # batch_time varies per batch: only the _sdc_deleted_at literal is
+    # rebuilt per call; the fused projection is memoized (plancache.py)
+    built = memo(
+        (
+            "decode_projection_multi",
+            tuple(s.fqn for s in streams),
+            tuple(s.spark_schema.json() for s in streams),
+            tuple(
+                tuple(sorted(pg_types_by_fqn.get(s.fqn, {}).items()))
+                for s in streams
+            ),
+        ),
+        build,
     )
-
-    union_fields: list[T.StructField] = []
-    tags: dict[str, tuple] = {}
-    pg_for: dict[str, str] = {}
-    for s in streams:
-        pg_types = pg_types_by_fqn.get(s.fqn, {})
-        for field in s.spark_schema.fields:
-            if field.name in (SDC_LSN, SDC_DELETED_AT):
-                continue
-            pg_type = pg_types.get(field.name, "text")
-            tag = _coercion_tag(field, pg_type)
-            seen = tags.get(field.name)
-            if seen is None:
-                tags[field.name] = tag
-                pg_for[field.name] = pg_type
-                union_fields.append(field)
-            elif seen != tag:
-                return None  # conflicting decode for one name
-
-    out_cols: list[Column] = [
-        _field_expr(f, pg_for[f.name], vals).alias(f.name) for f in union_fields
-    ]
-    out_cols.append(F.col("lsn").alias(SDC_LSN))
-    out_cols.append(
+    if built is None:
+        return None
+    head, is_delete, tail, union_fields = built
+    deleted_at = (
         F.when(is_delete, sdc_deleted_at_literal(batch_time))
         .otherwise(F.lit(None).cast("string"))
         .alias(SDC_DELETED_AT)
     )
-    out_cols.append(F.col("_env.action").alias("_action"))
-    out_cols.append(F.col("txid"))
-    out_cols.append(F.col("_status").alias("__status"))
-    out_cols.append(F.col("_fqn").alias("__fqn"))
-    out_cols.append(F.size(F.col("_env.columns")).alias("__ncols"))
-    gidx = F.lit(None).cast("int")
-    for i in reversed(range(len(streams))):
-        gidx = F.when(F.col("_fqn") == streams[i].fqn, F.lit(i)).otherwise(gidx)
-    out_cols.append(gidx.alias("__gidx"))
-    return classified.select(*out_cols), union_fields
+    return classified.select(*head, deleted_at, *tail), union_fields
 
 
 def decode_projection(
@@ -309,37 +340,52 @@ def decode_projection(
     """
     batch_time = batch_time or datetime.now(timezone.utc)
 
-    is_delete = F.col("_env.action") == "D"
-    # lean entries are (name, value) structs → directly map-ready
-    vals = F.when(is_delete, F.map_from_entries(F.col("_env.identity"))).otherwise(
-        F.map_from_entries(F.col("_env.columns"))
+    def build() -> tuple[list[Column], Column, list[Column]]:
+        is_delete = F.col("_env.action") == "D"
+        # lean entries are (name, value) structs → directly map-ready
+        vals = F.when(
+            is_delete, F.map_from_entries(F.col("_env.identity"))
+        ).otherwise(F.map_from_entries(F.col("_env.columns")))
+
+        head: list[Column] = []
+        for field in stream.spark_schema.fields:
+            if field.name in (SDC_LSN, SDC_DELETED_AT):
+                continue
+            pg_type = pg_types.get(field.name, "text")
+            head.append(_field_expr(field, pg_type, vals).alias(field.name))
+        head.append(F.col("lsn").alias(SDC_LSN))
+
+        # ``_status``/``_fqn`` are lazy expressions over ``_env`` —
+        # filtering on them as separate operators would re-run from_json
+        # per operator.  Everything (outputs + routing predicates + the
+        # evolution-trigger width) is computed in ONE projection;
+        # observers and the routing filter then read the materialized
+        # helper columns.
+        tail = [
+            F.col("_env.action").alias("_action"),
+            F.col("txid"),
+            F.col("_status").alias("__status"),
+            F.col("_fqn").alias("__fqn"),
+            F.size(F.col("_env.columns")).alias("__ncols"),
+        ]
+        return head, is_delete, tail
+
+    # batch_time varies per batch: only the _sdc_deleted_at literal is
+    # rebuilt per call; everything else is memoized (see plancache.py)
+    head, is_delete, tail = memo(
+        (
+            "decode_projection",
+            stream.spark_schema.json(),
+            tuple(sorted(pg_types.items())),
+        ),
+        build,
     )
-
-    out_cols: list[Column] = []
-    for field in stream.spark_schema.fields:
-        if field.name in (SDC_LSN, SDC_DELETED_AT):
-            continue
-        pg_type = pg_types.get(field.name, "text")
-        out_cols.append(_field_expr(field, pg_type, vals).alias(field.name))
-
-    out_cols.append(F.col("lsn").alias(SDC_LSN))
-    out_cols.append(
+    deleted_at = (
         F.when(is_delete, sdc_deleted_at_literal(batch_time))
         .otherwise(F.lit(None).cast("string"))
         .alias(SDC_DELETED_AT)
     )
-    out_cols.append(F.col("_env.action").alias("_action"))
-    out_cols.append(F.col("txid"))
-
-    # ``_status``/``_fqn`` are lazy expressions over ``_env`` — filtering
-    # on them as separate operators would re-run from_json per operator.
-    # Everything (outputs + routing predicates + the evolution-trigger
-    # width) is computed in ONE projection; observers and the routing
-    # filter then read the materialized helper columns.
-    out_cols.append(F.col("_status").alias("__status"))
-    out_cols.append(F.col("_fqn").alias("__fqn"))
-    out_cols.append(F.size(F.col("_env.columns")).alias("__ncols"))
-    return classified.select(*out_cols)
+    return classified.select(*head, deleted_at, *tail)
 
 
 def finish_decode(

@@ -63,6 +63,7 @@ from ..operators.lww import (
     fold_last_writer_wins_agg,
     salted_fold_last_writer_wins,
 )
+from ..plancache import memo
 from ..schema import SDC_DELETED_AT, SDC_LSN, merge_schemas
 
 class CommitConflictError(RuntimeError):
@@ -386,9 +387,12 @@ class LakeTable:
         num_buckets: int,
         fn: str = "xxhash64",
     ):
-        cols = [F.col(c) for c in key_columns]
-        h = F.hash(*cols) if fn == "murmur3" else F.xxhash64(*cols)
-        return F.pmod(h, F.lit(num_buckets)).cast("int")
+        def build():
+            cols = [F.col(c) for c in key_columns]
+            h = F.hash(*cols) if fn == "murmur3" else F.xxhash64(*cols)
+            return F.pmod(h, F.lit(num_buckets)).cast("int")
+
+        return memo(("bucket_expr", tuple(key_columns), num_buckets, fn), build)
 
     def _bucket_fn(self, meta: dict[str, Any]) -> str:
         return meta.get("bucket_fn", "xxhash64")
@@ -822,13 +826,24 @@ class LakeTable:
             folded = fold_last_writer_wins(batch, key_cols)
         else:
             folded = batch
-        aligned = folded.select(
-            *[
+        folded_cols = set(folded.columns)
+
+        def build_align():
+            return [
                 F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in folded.columns
+                if f.name in folded_cols
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in new_schema.fields
-            ],
+            ]
+
+        # memoized (plancache.py): only the generation literal varies
+        # per merge commit
+        align_cols = memo(
+            ("align", new_schema.json(), tuple(sorted(folded_cols))),
+            build_align,
+        )
+        aligned = folded.select(
+            *align_cols,
             F.lit(new_version).cast("long").alias(SDC_GEN),
         )
         bucketed = aligned.withColumn(

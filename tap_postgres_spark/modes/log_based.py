@@ -70,6 +70,7 @@ _QUARANTINE_STATUSES = (
     STATUS_UNROUTABLE,
 )
 from ..lake import LakeTable
+from ..plancache import memo
 from ..schema import StreamDef, pg_type_to_spark
 from ..state import StateStore
 from .txn import TxnBoundaryBuffer
@@ -361,19 +362,30 @@ class CdcPipeline:
             # always shows up as size(columns) > |known schema|).  Zero
             # extra passes over the batch on the happy path.
             obs = Observation()
-            aggs = [F.max(F.col(SDC_LSN)).alias("max_lsn")]
-            for s in _GLOBAL_STATUSES:
-                aggs.append(
-                    F.sum(F.when(F.col("__status") == s, 1).otherwise(0)).alias(
-                        f"status.{s}"
+
+            def build_aggs() -> list:
+                aggs = [F.max(F.col(SDC_LSN)).alias("max_lsn")]
+                for s in _GLOBAL_STATUSES:
+                    aggs.append(
+                        F.sum(
+                            F.when(F.col("__status") == s, 1).otherwise(0)
+                        ).alias(f"status.{s}")
                     )
-                )
-            for fqn in fqns:
-                ok = (F.col("__fqn") == fqn) & (F.col("__status") == STATUS_OK)
-                aggs.append(F.sum(F.when(ok, 1).otherwise(0)).alias(f"ok.{fqn}"))
-                aggs.append(
-                    F.max(F.when(ok, F.col("__ncols"))).alias(f"cols.{fqn}")
-                )
+                for fqn in fqns:
+                    ok = (F.col("__fqn") == fqn) & (
+                        F.col("__status") == STATUS_OK
+                    )
+                    aggs.append(
+                        F.sum(F.when(ok, 1).otherwise(0)).alias(f"ok.{fqn}")
+                    )
+                    aggs.append(
+                        F.max(F.when(ok, F.col("__ncols"))).alias(f"cols.{fqn}")
+                    )
+                return aggs
+
+            # ~2 Columns per stream per batch — memoized (plancache.py);
+            # the Observation object itself stays per-batch
+            aggs = memo(("batch_aggs", tuple(fqns)), build_aggs)
 
             results: dict[str, Any] = {}
             observed_df = None

@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..plancache import memo
 
 DEFAULT_ORDER = ("_sdc_lsn", "txid")
 
@@ -59,14 +61,20 @@ def fold_last_writer_wins_agg(
     if not order_cols:
         return fold_last_writer_wins(df, key_cols, order_cols)
     payload_cols = [c for c in df.columns if c not in key_cols]
-    winner = F.max_by(
-        F.struct(*payload_cols), F.struct(*[F.col(c) for c in order_cols])
-    ).alias("_w")
-    return (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .agg(winner)
-        .select(*key_cols, "_w.*")
+
+    def build() -> tuple[list[Column], Column]:
+        winner = F.max_by(
+            F.struct(*payload_cols), F.struct(*[F.col(c) for c in order_cols])
+        ).alias("_w")
+        return [F.col(c) for c in key_cols], winner
+
+    # the agg expressions depend only on the column layout — memoized
+    # (plancache.py) because this runs on every CDC micro-batch
+    group_cols, winner = memo(
+        ("lww_agg", tuple(payload_cols), tuple(key_cols), tuple(order_cols)),
+        build,
     )
+    return df.groupBy(*group_cols).agg(winner).select(*key_cols, "_w.*")
 
 
 def salted_fold_last_writer_wins(
