@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -223,6 +223,128 @@ def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "_sdc_lsn",
         F.col("_sdc_deleted_at").isNotNull().alias("deleted"),
+    )
+
+
+def q_merge_partial_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOAST-safe partial updates (operators/partial.py) through the REAL
+    pipeline: events become wal2json payloads where U events
+    deterministically OMIT columns (v when event_id%3==0, w when
+    event_id%5==0) — wal2json's unchanged-TOAST omission under REPLICA
+    IDENTITY DEFAULT.  Replayed in TWO batches split at the median
+    event_id so the cross-batch fill point-read executes, not just the
+    in-batch per-column fold.  Final state per user = per-COLUMN LWW:
+    each column's value from the latest event that carried it.  Deletes
+    = event_type 'error'; the first event per user and the first after
+    a delete are full-image INSERTs (the Postgres invariant: an UPDATE
+    never follows a DELETE without an INSERT between)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+
+    _pin_session(spark)
+    w_user = Window.partitionBy("user_id").orderBy("event_id")
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", "event_id", "event_type", "value",
+            F.length("props").cast("long").alias("w"),
+        )
+        .withColumn(
+            "action",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .when(
+                F.lag("event_type").over(w_user).isNull()
+                | (F.lag("event_type").over(w_user) == "error"),
+                F.lit("I"),
+            )
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "has_v",
+            (F.col("action") == "I") | (F.col("event_id") % 3 != 0),
+        )
+        .withColumn(
+            "has_w",
+            (F.col("action") == "I") | (F.col("event_id") % 5 != 0),
+        )
+    )
+
+    def entry(name: str, pg: str, val) -> Column:
+        return F.struct(
+            F.lit(name).alias("name"),
+            F.lit(pg).alias("type"),
+            val.cast("string").alias("value"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<name:string,type:string,value:string>>"
+    )
+    key_entry = F.array(entry("user_id", "int8", F.col("user_id")))
+    cols_arr = F.concat(
+        key_entry,
+        F.when(F.col("has_v"), F.array(entry("v", "float8", F.col("value"))))
+        .otherwise(empty),
+        F.when(F.col("has_w"), F.array(entry("w", "int8", F.col("w"))))
+        .otherwise(empty),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("action"),
+            F.lit("public").alias("schema"),
+            F.lit("toast_rows").alias("table"),
+            F.when(F.col("action") != "D", cols_arr).alias("columns"),
+            F.when(F.col("action") == "D", key_entry).alias("identity"),
+        )
+    )
+    feed = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit(1).cast("long").alias("txid"),
+        payload.alias("payload"),
+    )
+
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("v", T.DoubleType(), True),
+                T.StructField("w", T.LongType(), True),
+            ]
+        )
+    )
+    stream = StreamDef(
+        schema_name="public",
+        table_name="toast_rows",
+        spark_schema=schema,
+        key_properties=("user_id",),
+    )
+    d = tempfile.mkdtemp(prefix="tps-toast-")
+    table = LakeTable.create(
+        spark, f"{d}/t", schema, ["user_id"], num_buckets=8
+    )
+    pipeline = CdcPipeline(
+        spark,
+        [stream],
+        {"public.toast_rows": {"user_id": "int8", "v": "float8", "w": "int8"}},
+        {"public.toast_rows": table},
+        StateStore(f"{d}/state.json"),
+        detect_evolution=False,
+        partial_updates=True,
+    )
+    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    pipeline.apply_batch(feed.filter(F.col("lsn") <= h), epoch_id="t1")
+    pipeline.apply_batch(feed.filter(F.col("lsn") > h), epoch_id="t2")
+    # integer fixed-point outputs (driver-hash parity: no doubles)
+    return table.read().select(
+        "user_id",
+        F.col("_sdc_lsn").alias("last_event_id"),
+        F.round(F.col("v") * 100).cast("long").alias("v_cents"),
+        F.col("w").alias("w_last"),
     )
 
 
@@ -1448,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 4 changed to integer fixed-point this round + new r05 entries +
     # the 28 r03-certified rows rotated out of the r04 window.
     return {
+        # --- (a0) new in round 5: never driver-certified ---
+        "merge_partial_toast": q_merge_partial_toast,
         # --- (a) never driver-certified (added late in round 4) ---
         "curate_corpus": q_curate_corpus,
         "asof_join_events": q_asof_join_events,
@@ -2270,6 +2394,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                     PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                   FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "merge_partial_toast": """
+            WITH ev AS (
+              SELECT user_id, event_id, event_type, value,
+                     CAST(length(props) AS BIGINT) AS w,
+                     CASE WHEN event_type = 'error' THEN 'D'
+                          WHEN lag(event_type) OVER
+                                 (PARTITION BY user_id ORDER BY event_id)
+                               IS NULL
+                            OR lag(event_type) OVER
+                                 (PARTITION BY user_id ORDER BY event_id)
+                               = 'error' THEN 'I'
+                          ELSE 'U' END AS action
+              FROM events
+            ),
+            flags AS (
+              SELECT *,
+                     action <> 'D'
+                       AND (action = 'I' OR event_id % 3 <> 0) AS has_v,
+                     action <> 'D'
+                       AND (action = 'I' OR event_id % 5 <> 0) AS has_w
+              FROM ev
+            ),
+            agg AS (
+              SELECT user_id,
+                     max(event_id) AS last_event_id,
+                     arg_max(event_type, event_id) AS last_type,
+                     arg_max(value, event_id) FILTER (WHERE has_v) AS v_last,
+                     arg_max(w, event_id) FILTER (WHERE has_w) AS w_last
+              FROM flags GROUP BY user_id
+            )
+            SELECT user_id, last_event_id,
+                   CAST(round(v_last * 100) AS BIGINT) AS v_cents,
+                   w_last
+            FROM agg WHERE last_type <> 'error'
         """,
         "bootstrap_handoff": """
             WITH half AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS h FROM events),

@@ -41,7 +41,13 @@ from .functions import (
     sdc_deleted_at_literal,
 )
 from .plancache import memo
-from .schema import SDC_DELETED_AT, SDC_LSN, StreamDef, is_numeric_pg_type
+from .schema import (
+    SDC_DELETED_AT,
+    SDC_LSN,
+    SDC_MASK,
+    StreamDef,
+    is_numeric_pg_type,
+)
 
 # Lean hot-path envelope: wal2json format-version=2, value-only entries.
 # StringType absorbs any JSON primitive (Spark's JSON parser renders
@@ -313,12 +319,23 @@ def decode_projection_multi(
     return classified.select(*head, deleted_at, *tail), union_fields
 
 
+def data_columns(stream: StreamDef) -> list[str]:
+    """The stream's data columns in schema order (``_sdc_*`` excluded) —
+    the bit order of the :data:`~..schema.SDC_MASK` presence bitmask."""
+    return [
+        f.name
+        for f in stream.spark_schema.fields
+        if f.name not in (SDC_LSN, SDC_DELETED_AT)
+    ]
+
+
 def decode_projection(
     classified: DataFrame,
     stream: StreamDef,
     pg_types: dict[str, str],
     *,
     batch_time: datetime | None = None,
+    with_mask: bool = False,
 ) -> DataFrame:
     """Project this stream's routable events into its typed CDC schema.
 
@@ -368,6 +385,25 @@ def decode_projection(
             F.col("_fqn").alias("__fqn"),
             F.size(F.col("_env.columns")).alias("__ncols"),
         ]
+        if with_mask:
+            # presence bitmask over the RAW payload map (absent key ⇒ bit
+            # unset; explicit JSON null ⇒ key present ⇒ bit set) — the
+            # absent-vs-NULL distinction the typed projection erases.
+            # wal2json omits unchanged TOASTed columns from U events
+            # (REPLICA IDENTITY DEFAULT), so "absent" must not become a
+            # NULL overwrite downstream (operators/partial.py).
+            names = data_columns(stream)
+            if len(names) > 62:
+                raise ValueError(
+                    "partial-update masks support at most 62 data columns; "
+                    f"{stream.fqn} has {len(names)}"
+                )
+            mask = F.lit(0).cast("long")
+            for i, name in enumerate(names):
+                mask = mask + F.when(
+                    F.map_contains_key(vals, name), F.lit(1 << i).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            tail.append(mask.alias(SDC_MASK))
         return head, is_delete, tail
 
     # batch_time varies per batch: only the _sdc_deleted_at literal is
@@ -377,6 +413,7 @@ def decode_projection(
             "decode_projection",
             stream.spark_schema.json(),
             tuple(sorted(pg_types.items())),
+            with_mask,
         ),
         build,
     )
@@ -405,10 +442,17 @@ def decode_stream(
     *,
     bookmark_lsn: int | None = None,
     batch_time: datetime | None = None,
+    with_mask: bool = False,
 ) -> DataFrame:
     """decode_projection + finish_decode (see decode_projection docs)."""
     return finish_decode(
-        decode_projection(classified, stream, pg_types, batch_time=batch_time),
+        decode_projection(
+            classified,
+            stream,
+            pg_types,
+            batch_time=batch_time,
+            with_mask=with_mask,
+        ),
         stream,
         bookmark_lsn,
     )

@@ -76,6 +76,13 @@ class FeedConfig:
     n_quoted_array: int = 6  # tags with embedded quotes
     evolution_at: float = 0.5  # fraction of feed after which `stars` exists
     base_lsn: int = 10_000
+    # unchanged-TOAST simulation: with probability toast_omit_prob, a U
+    # event OMITS toast_omit_cols from its column list — exactly what
+    # wal2json does for unchanged TOASTed columns under REPLICA IDENTITY
+    # DEFAULT.  0.0 (default) leaves the rng stream untouched, so
+    # existing feeds stay byte-identical.
+    toast_omit_prob: float = 0.0
+    toast_omit_cols: tuple = ("content",)
 
 
 def _mk_content(rng: random.Random, repo: str, path: str, version: int) -> str:
@@ -193,6 +200,12 @@ def generate_feed(cfg: FeedConfig | None = None) -> Feed:
         ]
         if stars_exists:
             cols.append(_col_entry("stars", str(rng.randint(0, 5000))))
+        if (
+            action == "U"
+            and cfg.toast_omit_prob > 0
+            and rng.random() < cfg.toast_omit_prob
+        ):
+            cols = [c for c in cols if c["name"] not in cfg.toast_omit_cols]
         return {
             "action": action,
             "schema": SCHEMA_NAME,
@@ -425,12 +438,20 @@ def _oracle_parse_value(name: str, value: Any) -> Any:
     return value
 
 
-def oracle_apply(feed: Feed) -> dict[tuple[str, str], dict[str, Any]]:
+def oracle_apply(
+    feed: Feed, partial: bool = False
+) -> dict[tuple[str, str], dict[str, Any]]:
     """Expected final state of source_code_repos after full replay.
 
     Independent implementation: dict fold, one event at a time, exactly the
     reference's ordered-application semantics.  Uses the *payload JSON*
     (with its own repair step) so it also validates the decode path.
+
+    ``partial=True`` applies per-COLUMN semantics: a U event updates only
+    the columns present in its payload, keeping the previous value for
+    absent (unchanged-TOAST) columns — the oracle for
+    ``CdcPipeline(partial_updates=True)`` over a feed generated with
+    ``toast_omit_prob > 0``.
     """
     state: dict[tuple[str, str], dict[str, Any]] = {}
     for row in feed.snapshot:
@@ -460,16 +481,35 @@ def oracle_apply(feed: Feed) -> dict[tuple[str, str], dict[str, Any]]:
             continue
         cols = {c["name"]: _oracle_parse_value(c["name"], c["value"]) for c in msg["columns"]}
         key = (cols["repo"], cols["path"])
-        row = {
-            "repo": cols["repo"],
-            "path": cols["path"],
-            "commit": cols.get("commit"),
-            "lang": cols.get("lang"),
-            "content": cols.get("content"),
-            "tags": cols.get("tags"),
-            "stars": cols.get("stars"),
-            "_sdc_lsn": e["lsn"],
-        }
+        if partial:
+            prev = state.get(
+                key,
+                {
+                    "commit": None, "lang": None, "content": None,
+                    "tags": None, "stars": None,
+                },
+            )
+            row = {
+                "repo": cols["repo"],
+                "path": cols["path"],
+                # present columns win; absent columns keep the prior value
+                **{
+                    c: (cols[c] if c in cols else prev.get(c))
+                    for c in ("commit", "lang", "content", "tags", "stars")
+                },
+                "_sdc_lsn": e["lsn"],
+            }
+        else:
+            row = {
+                "repo": cols["repo"],
+                "path": cols["path"],
+                "commit": cols.get("commit"),
+                "lang": cols.get("lang"),
+                "content": cols.get("content"),
+                "tags": cols.get("tags"),
+                "stars": cols.get("stars"),
+                "_sdc_lsn": e["lsn"],
+            }
         state[key] = row
     return state
 

@@ -106,6 +106,7 @@ class CdcPipeline:
         snapshots_dir: str | None = None,
         changefeed_dir: str | None = None,
         grouped_commit: bool | None = None,
+        partial_updates: bool = False,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -187,6 +188,17 @@ class CdcPipeline:
         # decode plan.  Maps must not drop key or _sdc_* columns (the
         # merge needs them); validated at apply time.
         self.stream_maps = stream_maps or {}
+        # TOAST-safe partial updates (operators/partial.py): wal2json
+        # omits unchanged TOASTed columns from U events under REPLICA
+        # IDENTITY DEFAULT; without this flag the wholesale LWW fold
+        # would overwrite the stored value with NULL.  Opt-in because it
+        # widens the fold aggregate and adds a bucket-pruned point read
+        # on batches that actually contain partial images.
+        self.partial_updates = bool(partial_updates)
+        if self.partial_updates and self.stream_maps:
+            # a map's projection can rename/derive columns, desyncing
+            # the presence bitmask's bit order from the schema
+            raise ValueError("partial_updates and stream_maps are exclusive")
 
     def _apply_stream_map(self, df, stream: StreamDef):
         mapping = self.stream_maps.get(stream.fqn)
@@ -330,6 +342,7 @@ class CdcPipeline:
             and len(self.streams) > 1
             and self.merge_mode == "mor"
             and not self.stream_maps
+            and not self.partial_updates
         ):
             from ..lake.grouped import prepare_grouped_fused
 
@@ -391,6 +404,8 @@ class CdcPipeline:
             observed_df = None
             obs_fired = False
             merge_jobs: list[tuple[str, Any, bool]] = []
+            # fqn -> (summary, Observation|None, persisted folded df)
+            partial_meta: dict[str, tuple] = {}
             if fused_plan is not None:
                 from ..lake.grouped import execute_grouped_fused
 
@@ -406,6 +421,7 @@ class CdcPipeline:
                         stream,
                         self.pg_types.get(fqn, {}),
                         batch_time=batch_time,
+                        with_mask=self.partial_updates,
                     )
                     if observed_df is None:
                         proj = observed_df = proj.observe(obs, *aggs)
@@ -413,6 +429,10 @@ class CdcPipeline:
                         finish_decode(proj, stream, self.state.bookmark(fqn)),
                         stream,
                     )
+                    if self.partial_updates:
+                        decoded = self._resolve_partial(
+                            fqn, stream, decoded, partial_meta
+                        )
                     merge_jobs.append((fqn, decoded, proj is observed_df))
 
             def _merge(fqn: str, decoded) -> dict[str, Any]:
@@ -455,8 +475,20 @@ class CdcPipeline:
             if not obs_fired:
                 # every observed-plan merge was an epoch-dedup no-op
                 # (crash replay): run one cheap pass so metrics + the
-                # evolution trigger still materialize for this batch
+                # evolution trigger still materialize for this batch.
+                # (In partial mode the resolve's bucket-discovery collect
+                # already fired the observation; the noop re-fire is
+                # ignored by Observation's first-result semantics.)
                 observed_df.write.mode("overwrite").format("noop").save()
+
+            for fqn, (psummary, pobs, pfolded) in partial_meta.items():
+                info = dict(psummary)
+                if pobs is not None and not results[fqn].get("skipped"):
+                    info["unresolved"] = int(
+                        pobs.get.get("partial_unresolved") or 0
+                    )
+                results[fqn]["partial"] = info
+                pfolded.unpersist()
 
             metrics = {k: (v if v is not None else 0) for k, v in obs.get.items()}
             max_lsn_seen = obs.get["max_lsn"]
@@ -531,13 +563,37 @@ class CdcPipeline:
                         self.pg_types.get(fqn, {}),
                         bookmark_lsn=self.state.bookmark(fqn),
                         batch_time=batch_time,
+                        with_mask=self.partial_updates,
                     ),
                     stream,
                 )
+                pfolded = None
+                if self.partial_updates:
+                    # the correction re-decodes the batch with the EVOLVED
+                    # schema (new mask bit order), so it needs its own
+                    # per-column fold + fill; the table it fills from
+                    # already holds this batch's main merge, which the
+                    # corrected rows supersede via the _sdc_gen tie-break
+                    from ..decode import data_columns
+                    from ..operators.partial import (
+                        fold_partial_lww,
+                        resolve_partial_images,
+                    )
+
+                    key_cols = self.tables[fqn].metadata()["key_columns"]
+                    dcols = data_columns(stream)
+                    pfolded = fold_partial_lww(
+                        corrected, key_cols, dcols
+                    ).persist()
+                    corrected, _psum = resolve_partial_images(
+                        self.tables[fqn], pfolded, key_cols, dcols
+                    )
                 results[fqn]["evolution"] = self.tables[fqn].merge_into(
                     corrected, epoch_id=f"{epoch_id}:{fqn}:evolve",
                     fold="agg", mode=self.merge_mode,
                 )
+                if pfolded is not None:
+                    pfolded.unpersist()
                 results[fqn]["evolved_columns"] = [c for c, _t in new_cols]
 
             tiered_due: dict[str, Any] = {}
@@ -635,6 +691,40 @@ class CdcPipeline:
         finally:
             if cache:
                 classified.unpersist()
+
+    def _resolve_partial(
+        self,
+        fqn: str,
+        stream: StreamDef,
+        decoded: DataFrame,
+        partial_meta: dict[str, tuple],
+    ) -> DataFrame:
+        """Partial-update path (operators/partial.py): per-column LWW
+        fold, then fill still-absent columns from the table's current
+        image (bucket-pruned point read).  Returns the FULL-image batch
+        the normal merge consumes; the folded relation is persisted —
+        it is scanned by the bucket-discovery action here and again by
+        the merge — and released after the batch."""
+        from ..decode import data_columns
+        from ..operators.partial import (
+            fold_partial_lww,
+            resolve_partial_images,
+        )
+
+        table = self.tables[fqn]
+        key_cols = table.metadata()["key_columns"]
+        dcols = data_columns(stream)
+        folded = fold_partial_lww(decoded, key_cols, dcols).persist()
+        pobs = Observation()
+        filled, summary = resolve_partial_images(
+            table, folded, key_cols, dcols, observation=pobs
+        )
+        partial_meta[fqn] = (
+            summary,
+            pobs if summary["buckets"] else None,
+            folded,
+        )
+        return filled
 
     # ------------------------------------------------------------------
     def replay_dead_letters(

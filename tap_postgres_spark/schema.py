@@ -18,6 +18,12 @@ from pyspark.sql import types as T
 # (reference client.py:282-283; README.md:259-262).
 SDC_LSN = "_sdc_lsn"
 SDC_DELETED_AT = "_sdc_deleted_at"
+# Column-presence bitmask, emitted by decode_projection(with_mask=True) and
+# consumed by operators/partial.py (TOAST-safe partial updates).  Bit i set ⟺
+# data column i (schema order, _sdc_* excluded) was PRESENT in the event's
+# payload — distinguishing "absent" (unchanged TOASTed column omitted by
+# wal2json) from "explicitly NULL".  Never persisted to the lake.
+SDC_MASK = "_sdc_mask"
 
 # Postgres type name (as it appears in wal2json ``columns[].type`` and in
 # catalog discovery) → Spark type.  Mirrors the single-dispatch converter
