@@ -348,6 +348,125 @@ def q_merge_partial_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_key_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key-changing UPDATEs (decode.py key_updates) through the
+    REAL pipeline: each user's LAST event, when its event_id % 7 == 0 and
+    it is not a delete, becomes a rename U — identity = the OLD user_id,
+    columns = the full row under user_id + 10^7 (wal2json attaches
+    identity to U exactly when replica-identity columns changed).  The
+    engine must emit tombstone(old key) + upsert(new key) from the ONE
+    event; the reference ignores identity on U (client.py:556-562) and
+    would leave a ghost row.  Renames are single-hop and terminal per
+    user, so the oracle is plain SQL.  Two batches split at the median
+    event_id."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.modes.log_based import CdcPipeline
+    from tap_postgres_spark.schema import widen_for_cdc
+    from tap_postgres_spark.state import StateStore
+
+    _pin_session(spark)
+    w_user = Window.partitionBy("user_id").orderBy("event_id")
+    w_last = Window.partitionBy("user_id")
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", "event_id", "event_type", "value",
+            F.length("props").cast("long").alias("w"),
+        )
+        .withColumn(
+            "action",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .when(
+                F.lag("event_type").over(w_user).isNull()
+                | (F.lag("event_type").over(w_user) == "error"),
+                F.lit("I"),
+            )
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "rename",
+            (F.col("event_id") == F.max("event_id").over(w_last))
+            & (F.col("event_id") % 7 == 0)
+            & (F.col("action") != "D"),
+        )
+    )
+
+    def entry(name: str, pg: str, val) -> Column:
+        return F.struct(
+            F.lit(name).alias("name"),
+            F.lit(pg).alias("type"),
+            val.cast("string").alias("value"),
+        )
+
+    out_uid = F.when(
+        F.col("rename"), F.col("user_id") + F.lit(10_000_000)
+    ).otherwise(F.col("user_id"))
+    cols_arr = F.array(
+        entry("user_id", "int8", out_uid),
+        entry("v", "float8", F.col("value")),
+        entry("w", "int8", F.col("w")),
+    )
+    ident_arr = F.array(entry("user_id", "int8", F.col("user_id")))
+    payload = F.to_json(
+        F.struct(
+            F.when(F.col("rename"), F.lit("U")).otherwise(F.col("action")).alias("action"),
+            F.lit("public").alias("schema"),
+            F.lit("rekey_rows").alias("table"),
+            F.when(F.col("action") != "D", cols_arr).alias("columns"),
+            F.when(
+                (F.col("action") == "D") | F.col("rename"), ident_arr
+            ).alias("identity"),
+        )
+    )
+    feed = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit(1).cast("long").alias("txid"),
+        payload.alias("payload"),
+    )
+
+    schema = widen_for_cdc(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("v", T.DoubleType(), True),
+                T.StructField("w", T.LongType(), True),
+            ]
+        )
+    )
+    stream = StreamDef(
+        schema_name="public",
+        table_name="rekey_rows",
+        spark_schema=schema,
+        key_properties=("user_id",),
+    )
+    d = tempfile.mkdtemp(prefix="tps-rekey-")
+    table = LakeTable.create(
+        spark, f"{d}/t", schema, ["user_id"], num_buckets=8
+    )
+    pipeline = CdcPipeline(
+        spark,
+        [stream],
+        {"public.rekey_rows": {"user_id": "int8", "v": "float8", "w": "int8"}},
+        {"public.rekey_rows": table},
+        StateStore(f"{d}/state.json"),
+        detect_evolution=False,
+        key_updates=True,
+    )
+    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    pipeline.apply_batch(feed.filter(F.col("lsn") <= h), epoch_id="k1")
+    pipeline.apply_batch(feed.filter(F.col("lsn") > h), epoch_id="k2")
+    return table.read().select(
+        "user_id",
+        F.col("_sdc_lsn").alias("last_event_id"),
+        F.round(F.col("v") * 100).cast("long").alias("v_cents"),
+        F.col("w").alias("w_last"),
+    )
+
+
 def q_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained derived table (lake/derived.py): a base
     CDC table is built in two merge epochs split at the median event_id;
@@ -1572,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a0) new in round 5: never driver-certified ---
         "merge_partial_toast": q_merge_partial_toast,
+        "merge_key_updates": q_merge_key_updates,
         # --- (a) never driver-certified (added late in round 4) ---
         "curate_corpus": q_curate_corpus,
         "asof_join_events": q_asof_join_events,
@@ -2394,6 +2514,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                     PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                   FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "merge_key_updates": """
+            WITH agg AS (
+              SELECT user_id,
+                     max(event_id) AS last_event_id,
+                     arg_max(event_type, event_id) AS last_type,
+                     arg_max(value, event_id) AS v_last,
+                     arg_max(CAST(length(props) AS BIGINT), event_id) AS w_last
+              FROM events GROUP BY user_id
+            )
+            SELECT CASE WHEN last_event_id % 7 = 0
+                        THEN user_id + 10000000 ELSE user_id END AS user_id,
+                   last_event_id,
+                   CAST(round(v_last * 100) AS BIGINT) AS v_cents,
+                   w_last
+            FROM agg WHERE last_type <> 'error'
         """,
         "merge_partial_toast": """
             WITH ev AS (

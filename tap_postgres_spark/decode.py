@@ -336,6 +336,7 @@ def decode_projection(
     *,
     batch_time: datetime | None = None,
     with_mask: bool = False,
+    key_updates: bool = False,
 ) -> DataFrame:
     """Project this stream's routable events into its typed CDC schema.
 
@@ -350,6 +351,17 @@ def decode_projection(
       min-LSN reader start
     - per-value coercions from ``_parse_column_value`` (client.py:596-624)
 
+    ``key_updates=True`` (beyond-reference; the reference ignores the
+    ``identity`` field on U events entirely, client.py:556-562, so a
+    primary-key-changing UPDATE leaves a stale ghost row under the OLD
+    key in any keyed target): wal2json attaches ``identity`` = the OLD
+    key values to a U exactly when the replica-identity columns changed
+    (always, with old full row, under REPLICA IDENTITY FULL).  When the
+    old and new key values differ, the event expands to TWO rows — a
+    tombstone under the old key plus the upsert under the new key, the
+    Debezium delete+create model — via a conditional explode whose array
+    is 1-element for every normal event.
+
     Output columns: widened CDC schema + ``_action`` (I/U/D), ``txid``.
     Everything happens in ONE projection over the packed ``_env`` struct;
     the only Python is the pg-array pandas UDF, applied only to
@@ -357,8 +369,37 @@ def decode_projection(
     """
     batch_time = batch_time or datetime.now(timezone.utc)
 
+    if key_updates:
+        key_cols = list(stream.key_properties)
+
+        def build_imgs() -> Column:
+            idm = F.map_from_entries(F.col("_env.identity"))
+            colm = F.map_from_entries(F.col("_env.columns"))
+            changed = None
+            for k in key_cols:
+                one = ~idm[k].eqNullSafe(colm[k])
+                changed = one if changed is None else (changed | one)
+            key_changed = (
+                (F.col("_env.action") == "U")
+                & F.col("_env.identity").isNotNull()
+                & changed
+            )
+            return F.when(
+                key_changed, F.array(F.lit("new"), F.lit("old"))
+            ).otherwise(F.array(F.lit("new")))
+
+        imgs = memo(
+            ("decode_imgs", tuple(key_cols)),
+            build_imgs,
+        )
+        classified = classified.withColumn("_img", F.explode(imgs))
+
     def build() -> tuple[list[Column], Column, list[Column]]:
         is_delete = F.col("_env.action") == "D"
+        if key_updates:
+            # the 'old' image of a key-change U is a tombstone under the
+            # OLD key: values from identity, deleted_at set
+            is_delete = is_delete | (F.col("_img") == "old")
         # lean entries are (name, value) structs → directly map-ready
         vals = F.when(
             is_delete, F.map_from_entries(F.col("_env.identity"))
@@ -414,6 +455,7 @@ def decode_projection(
             stream.spark_schema.json(),
             tuple(sorted(pg_types.items())),
             with_mask,
+            key_updates,
         ),
         build,
     )
@@ -443,6 +485,7 @@ def decode_stream(
     bookmark_lsn: int | None = None,
     batch_time: datetime | None = None,
     with_mask: bool = False,
+    key_updates: bool = False,
 ) -> DataFrame:
     """decode_projection + finish_decode (see decode_projection docs)."""
     return finish_decode(
@@ -452,6 +495,7 @@ def decode_stream(
             pg_types,
             batch_time=batch_time,
             with_mask=with_mask,
+            key_updates=key_updates,
         ),
         stream,
         bookmark_lsn,

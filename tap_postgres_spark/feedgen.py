@@ -83,6 +83,11 @@ class FeedConfig:
     # existing feeds stay byte-identical.
     toast_omit_prob: float = 0.0
     toast_omit_cols: tuple = ("content",)
+    # primary-key-changing UPDATEs: U events whose `identity` carries the
+    # OLD key (wal2json attaches identity to a U exactly when the
+    # replica-identity columns changed) and whose `columns` carry the row
+    # under the NEW key — a rename.  0 leaves the rng stream untouched.
+    n_key_updates: int = 0
 
 
 def _mk_content(rng: random.Random, repo: str, path: str, version: int) -> str:
@@ -179,7 +184,9 @@ def generate_feed(cfg: FeedConfig | None = None) -> Feed:
             }
         )
 
-    def data_payload(action: str, key: tuple[str, str], version: int) -> dict[str, Any]:
+    def data_payload(
+        action: str, key: tuple[str, str], version: int, full: bool = False
+    ) -> dict[str, Any]:
         repo, path = key
         stars_exists = lsn >= evolution_lsn
         if action == "D":
@@ -202,6 +209,7 @@ def generate_feed(cfg: FeedConfig | None = None) -> Feed:
             cols.append(_col_entry("stars", str(rng.randint(0, 5000))))
         if (
             action == "U"
+            and not full
             and cfg.toast_omit_prob > 0
             and rng.random() < cfg.toast_omit_prob
         ):
@@ -239,6 +247,27 @@ def generate_feed(cfg: FeedConfig | None = None) -> Feed:
             deleted.append(key)
             emit(data_payload("D", key, 0), "D")
             counts["D"] += 1
+
+    # primary-key-changing UPDATEs (renames): identity = OLD key, columns
+    # = full row under the NEW key.  Always full images (wal2json's TOAST
+    # omission and a key change can co-occur in real PG, but the engine's
+    # documented honest corner there is a counted NULL — keep the oracle
+    # exact here).
+    for j in range(cfg.n_key_updates):
+        if not live:
+            break
+        old_key = rng.choice(sorted(live.keys()))
+        repo, _old_path = old_key
+        new_key = (repo, f"src/renamed/file{j}_{next_file_id}.py")
+        next_file_id += 1
+        if new_key in live:
+            continue
+        version = live.pop(old_key) + 1
+        live[new_key] = version
+        p = data_payload("U", new_key, version, full=True)
+        p["identity"] = [_col_entry("repo", old_key[0]), _col_entry("path", old_key[1])]
+        emit(p, "key_update")
+        counts["U"] += 1
 
     # ---- injections (interleaved deterministically) ------------------------
     for _ in range(cfg.n_txn_markers):
@@ -481,14 +510,27 @@ def oracle_apply(
             continue
         cols = {c["name"]: _oracle_parse_value(c["name"], c["value"]) for c in msg["columns"]}
         key = (cols["repo"], cols["path"])
+        # a U carrying `identity` with DIFFERENT key values is a
+        # primary-key-changing update: the row moves from the old key
+        # (wal2json attaches identity to U exactly when replica-identity
+        # columns changed)
+        moved = None
+        ident = {c["name"]: c["value"] for c in msg.get("identity") or []}
+        if (
+            action == "U"
+            and ident
+            and (ident.get("repo"), ident.get("path")) != key
+        ):
+            moved = state.pop((ident["repo"], ident["path"]), None)
         if partial:
-            prev = state.get(
-                key,
-                {
-                    "commit": None, "lang": None, "content": None,
-                    "tags": None, "stars": None,
-                },
-            )
+            prev = (
+                moved
+                if moved is not None
+                else state.get(key, None)
+            ) or {
+                "commit": None, "lang": None, "content": None,
+                "tags": None, "stars": None,
+            }
             row = {
                 "repo": cols["repo"],
                 "path": cols["path"],

@@ -107,6 +107,7 @@ class CdcPipeline:
         changefeed_dir: str | None = None,
         grouped_commit: bool | None = None,
         partial_updates: bool = False,
+        key_updates: bool = False,
     ):
         self.spark = spark
         self.streams = {s.fqn: s for s in streams}
@@ -199,6 +200,15 @@ class CdcPipeline:
             # a map's projection can rename/derive columns, desyncing
             # the presence bitmask's bit order from the schema
             raise ValueError("partial_updates and stream_maps are exclusive")
+        # primary-key-changing UPDATEs (beyond-reference, decode.py
+        # key_updates docs): a key-change U expands to tombstone(old key)
+        # + upsert(new key).  Composes with partial_updates, with one
+        # documented honest corner: a key-change U that ALSO omits an
+        # unchanged TOASTed column cannot fill from the OLD key's row
+        # (the fill point-read joins on the new key) — those columns
+        # stay NULL and are counted in `partial.unresolved`, never
+        # silently invented.
+        self.key_updates = bool(key_updates)
 
     def _apply_stream_map(self, df, stream: StreamDef):
         mapping = self.stream_maps.get(stream.fqn)
@@ -343,6 +353,7 @@ class CdcPipeline:
             and self.merge_mode == "mor"
             and not self.stream_maps
             and not self.partial_updates
+            and not self.key_updates
         ):
             from ..lake.grouped import prepare_grouped_fused
 
@@ -422,6 +433,7 @@ class CdcPipeline:
                         self.pg_types.get(fqn, {}),
                         batch_time=batch_time,
                         with_mask=self.partial_updates,
+                        key_updates=self.key_updates,
                     )
                     if observed_df is None:
                         proj = observed_df = proj.observe(obs, *aggs)
@@ -564,6 +576,7 @@ class CdcPipeline:
                         bookmark_lsn=self.state.bookmark(fqn),
                         batch_time=batch_time,
                         with_mask=self.partial_updates,
+                        key_updates=self.key_updates,
                     ),
                     stream,
                 )
