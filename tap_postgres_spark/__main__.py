@@ -169,6 +169,11 @@ def _sync_log_based(
         txn_boundary_dir=config.get("txn_boundary_dir"),
         snapshots_dir=config.get("snapshots_dir"),
         changefeed_dir=config.get("changefeed_dir"),
+        # TOAST-safe partial updates / key-changing UPDATEs (decode.py,
+        # operators/partial.py) — real wal2json semantics under REPLICA
+        # IDENTITY DEFAULT, opt-in per deployment
+        partial_updates=bool(config.get("partial_updates", False)),
+        key_updates=bool(config.get("key_updates", False)),
     )
     runner = StreamingCdcRunner(
         pipeline,

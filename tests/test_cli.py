@@ -190,3 +190,74 @@ def test_explain_list_subprocess():
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert r2.returncode == 2 and "unknown query" in r2.stderr
+
+
+def test_sync_log_based_partial_and_key_updates_config(spark, tmp_path):
+    """The partial_updates / key_updates config keys plumb through sync()
+    to the pipeline: a TOAST-omitting + renaming feed converges to the
+    per-column oracle (content survives omission; old keys absent)."""
+    from tap_postgres_spark.feedgen import (
+        PG_TYPES, FeedConfig, generate_feed, oracle_apply, write_feed,
+        write_snapshot,
+    )
+
+    feed = generate_feed(
+        FeedConfig(
+            n_events=200, n_initial_paths=30, evolution_at=2.0,
+            n_numeric_empty=0, toast_omit_prob=0.4, n_key_updates=5,
+        )
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    write_snapshot(feed, str(src / "source_code_repos.parquet"))
+    write_feed(feed, str(tmp_path / "feed"))
+    config = {
+        "source_dir": str(src),
+        "wal_feed_dir": str(tmp_path / "feed"),
+        "lake_dir": str(tmp_path / "lake"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "key_properties": {"source_code_repos": ["repo", "path"]},
+        "replication": {"source_code_repos": {"method": "LOG_BASED"}},
+        "pg_types": {"source_code_repos": dict(PG_TYPES)},
+        "partial_updates": True,
+        "key_updates": True,
+    }
+    streams = discover_parquet_dir(
+        spark, str(src),
+        key_properties=config["key_properties"],
+        replication=config["replication"],
+    )
+
+    # FULL_TABLE bootstrap into the lake first (lsn 0 — any WAL event
+    # outranks snapshot rows), as a real deployment would, so partial
+    # fills of snapshot-era values have a prior image to read
+    from pyspark.sql import functions as F
+
+    from tap_postgres_spark.lake import LakeTable
+    from tap_postgres_spark.schema import widen_for_cdc
+
+    stream = next(s for s in streams if s.table_name == "source_code_repos")
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "lake" / "source_code_repos"),
+        widen_for_cdc(stream.spark_schema),
+        list(stream.key_properties),
+        num_buckets=8,
+    )
+    snap = (
+        spark.read.parquet(str(src / "source_code_repos.parquet"))
+        .withColumn("_sdc_lsn", F.lit(0).cast("long"))
+        .withColumn("_sdc_deleted_at", F.lit(None).cast("string"))
+    )
+    table.overwrite(snap, epoch_id="snapshot")
+
+    state = StateStore(str(tmp_path / "state.json"))
+    summary = sync(spark, streams, config, state, out=io.StringIO())
+    assert summary["public.source_code_repos"]["events_applied"] > 0
+    expected = oracle_apply(feed, partial=True)
+    got = {(r["repo"], r["path"]): r for r in table.read().collect()}
+    assert set(got) == set(expected)  # renames applied, no ghosts
+    mismatch = [
+        k for k, e in expected.items() if got[k]["content"] != e["content"]
+    ]
+    assert not mismatch  # TOAST omission never NULLed a stored value

@@ -48,6 +48,8 @@ def main() -> None:
             spark, table_dir, widen_for_cdc(SCHEMA), ["repo", "path"], num_buckets=64
         )
     stream = StreamDef("public", "source_code_repos", SCHEMA, ("repo", "path"))
+    import os
+
     pipeline = CdcPipeline(
         spark,
         [stream],
@@ -55,6 +57,10 @@ def main() -> None:
         {FQN: table},
         StateStore(state_path),
         metrics_dir=f"{table_dir}/_metrics",
+        # wal2json realities, opt-in per deployment (decode.py docs):
+        # unchanged-TOAST column omission and key-changing UPDATEs
+        partial_updates=os.environ.get("SPARK_GRAFT_PARTIAL_UPDATES") == "1",
+        key_updates=os.environ.get("SPARK_GRAFT_KEY_UPDATES") == "1",
     )
     runner = StreamingCdcRunner(
         pipeline, feed_dir, checkpoint_dir, max_files_per_trigger=32
