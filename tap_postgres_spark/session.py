@@ -97,6 +97,15 @@ def get_spark(
             .config("spark.executor.extraClassPath", jar)
             .config("spark.hadoop.fs.file.impl", "tps.FastLocalFileSystem")
         )
+    # Deployment override hook: SPARK_GRAFT_CONF="k=v;k2=v2" lets
+    # spark-submit wrappers / bench tooling tune any Spark conf without a
+    # code change (e.g. spark.io.compression.codec=zstd on a
+    # bandwidth-bound tier).  Applied before extra_conf so an explicit
+    # caller still wins.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
