@@ -258,7 +258,10 @@ def main() -> None:
         "batches": batches,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
-    with open(os.path.join(REPO, "BENCH_SUSTAINED.json"), "w") as f:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SUSTAINED_OUT", os.path.join(REPO, "BENCH_SUSTAINED.json")
+    )
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: v for k, v in doc.items() if k != "batches"}, indent=1))
 
