@@ -126,7 +126,9 @@ def prepare_grouped_fused(
         )
         table_schema = T.StructType.fromJson(meta["schema"])
         try:
-            new_schema = merge_schemas(table_schema, batch_schema)
+            new_schema = merge_schemas(
+                table_schema, batch_schema, frozen=meta["key_columns"]
+            )
         except TypeError:
             return None  # widening cast needed → per-stream path
         # a pre-existing table column whose type differs from the fused

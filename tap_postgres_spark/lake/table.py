@@ -816,7 +816,7 @@ class LakeTable:
         batch_schema = T.StructType(
             [f for f in batch.schema.fields if f.name in data_cols]
         )
-        new_schema = merge_schemas(table_schema, batch_schema)
+        new_schema = merge_schemas(table_schema, batch_schema, frozen=key_cols)
 
         if fold == "agg":
             folded = fold_last_writer_wins_agg(batch, key_cols)

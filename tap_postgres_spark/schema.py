@@ -11,6 +11,7 @@ client.py:267-285): every property becomes nullable and the
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Sequence
 
 from pyspark.sql import types as T
 
@@ -178,21 +179,82 @@ def widen_for_cdc(schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
-    """Additive schema evolution: fields present in ``incoming`` but not in
-    ``base`` are appended (nullable).  Type changes are rejected — the
-    reference likewise only ever widens nullability / appends columns
+# Lossless numeric widenings Spark 4's parquet readers promote at scan
+# time (SPARK-40876): an old int32 data file reads cleanly under a
+# LongType head schema, so widening the TABLE schema in place needs no
+# file rewrite — exactly Iceberg's `ALTER COLUMN ... TYPE` contract.
+# long → double is NOT here (loses precision past 2^53); nothing lossy is.
+_INTEGRAL_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def widened_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of ``a``/``b`` when one safely (losslessly, and with
+    parquet read-time promotion support) widens to the other; None when
+    no such widening exists.  Symmetric."""
+    if a == b:
+        return a
+    ra = _INTEGRAL_RANK.get(a.typeName())
+    rb = _INTEGRAL_RANK.get(b.typeName())
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    floats = (T.FloatType(), T.DoubleType())
+    if a in floats and b in floats:
+        return T.DoubleType()
+    # {byte,short,int} → double is exact (≤ 2^31 fits the 53-bit
+    # mantissa); float → double handled above; long → double rejected
+    for other, wide in ((a, b), (b, a)):
+        if wide == T.DoubleType() and _INTEGRAL_RANK.get(other.typeName(), 9) <= 3:
+            return T.DoubleType()
+    return None
+
+
+def merge_schemas(
+    base: T.StructType,
+    incoming: T.StructType,
+    *,
+    frozen: Sequence[str] = (),
+) -> T.StructType:
+    """Schema evolution: fields present in ``incoming`` but not in
+    ``base`` are appended (nullable); a numeric type mismatch resolves to
+    the wider type when the widening is lossless (``widened_type`` —
+    covers Postgres ``ALTER COLUMN ... TYPE`` int→bigint / real→double
+    after a catalog re-discover).  Any other type change is rejected —
+    the reference likewise only ever widens nullability / appends columns
     (tap.py:698-731); destructive evolution is out of contract.
+
+    ``frozen`` columns may never change type in EITHER direction: the
+    lake's bucket placement hashes the raw key columns
+    (``CdcTable._bucket_expr``) and Spark's murmur3/xxhash64 hash an int
+    and a long to different values, so widening a key would strand
+    existing rows in buckets the new batches never probe.  Key-type
+    changes require a :meth:`rebucket`-style rewrite instead.
     """
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
+    pos = {f.name: i for i, f in enumerate(out)}
     for f in incoming.fields:
         if f.name not in by_name:
             out.append(T.StructField(f.name, f.dataType, nullable=True))
-        elif by_name[f.name].dataType != f.dataType:
+            continue
+        have = by_name[f.name].dataType
+        if have == f.dataType:
+            continue
+        wide = widened_type(have, f.dataType)
+        if wide is None:
             raise TypeError(
                 f"incompatible evolution for column {f.name!r}: "
-                f"{by_name[f.name].dataType} → {f.dataType}"
+                f"{have} → {f.dataType}"
+            )
+        if f.name in frozen:
+            raise TypeError(
+                f"type change on key column {f.name!r} ({have} → "
+                f"{f.dataType}): key types are frozen because bucket "
+                "placement hashes the raw key; rewrite via rebucket()"
+            )
+        if wide != have:
+            old = out[pos[f.name]]
+            out[pos[f.name]] = T.StructField(
+                old.name, wide, nullable=True, metadata=old.metadata
             )
     return T.StructType(out)
 
