@@ -179,6 +179,39 @@ def discover_columns(classified: DataFrame, fqn: str) -> list[tuple[str, str]]:
     return [(r["name"], r["type"]) for r in rows]
 
 
+_NARROW_INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType)
+
+
+def _overflow_probe(
+    fields: list[T.StructField], vals: Column
+) -> Column:
+    """1 when some value in this event parses as a BIGINT but NOT as the
+    column's narrower declared integral type — the value-level signal
+    that a Postgres ``ALTER COLUMN ... TYPE`` widened the column and the
+    decode schema hasn't caught up.  The width trigger can't fire for a
+    retype (the event's column count is unchanged), and the hot-path
+    envelope deliberately drops wal2json's ``type`` field, so the signal
+    has to come from the values themselves.  A genuinely malformed
+    numeric is NULL under BOTH casts and never fires; a false fire costs
+    one discovery pass that finds nothing.  Streams with no narrow
+    integral columns (e.g. the all-string flagship table) compile to
+    ``lit(0)`` — zero cost.  float→real widenings have no NULL-overflow
+    signal (casts saturate, never NULL) and are picked up by the same
+    discovery pass whenever any trigger fires."""
+    probe = None
+    for f in fields:
+        if f.name in (SDC_LSN, SDC_DELETED_AT):
+            continue
+        if not isinstance(f.dataType, _NARROW_INTEGRALS):
+            continue
+        raw = vals.getItem(f.name)
+        one = raw.cast(f.dataType).isNull() & raw.cast("long").isNotNull()
+        probe = one if probe is None else (probe | one)
+    if probe is None:
+        return F.lit(0)
+    return F.when(probe, F.lit(1)).otherwise(F.lit(0))
+
+
 def _field_expr(field: T.StructField, pg_type: str, vals: Column) -> Column:
     """Typed decode expression for one column from the (name → value)
     event map: per-value coercions from the reference's
@@ -285,6 +318,7 @@ def decode_projection_multi(
             F.col("_status").alias("__status"),
             F.col("_fqn").alias("__fqn"),
             F.size(F.col("_env.columns")).alias("__ncols"),
+            _overflow_probe(union_fields, vals).alias("__overflow"),
         ]
         gidx = F.lit(None).cast("int")
         for i in reversed(range(len(streams))):
@@ -425,6 +459,9 @@ def decode_projection(
             F.col("_status").alias("__status"),
             F.col("_fqn").alias("__fqn"),
             F.size(F.col("_env.columns")).alias("__ncols"),
+            _overflow_probe(
+                list(stream.spark_schema.fields), vals
+            ).alias("__overflow"),
         ]
         if with_mask:
             # presence bitmask over the RAW payload map (absent key ⇒ bit
@@ -474,7 +511,9 @@ def finish_decode(
     cond = (F.col("__status") == STATUS_OK) & (F.col("__fqn") == stream.fqn)
     if bookmark_lsn is not None:
         cond = cond & (F.col(SDC_LSN) >= F.lit(bookmark_lsn))
-    return projected.filter(cond).drop("__status", "__fqn", "__ncols")
+    return projected.filter(cond).drop(
+        "__status", "__fqn", "__ncols", "__overflow"
+    )
 
 
 def decode_stream(

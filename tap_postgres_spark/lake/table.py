@@ -81,7 +81,9 @@ _BUCKET = "_bucket"
 # schema-evolution correction re-writing the same events) resolve to the
 # NEWEST commit deterministically.  Old files lack it → NULL → lose ties.
 SDC_GEN = "_sdc_gen"
-_HELPER_COLS = ("_action", "txid", _BUCKET, "__status", "__fqn", "__ncols")
+_HELPER_COLS = (
+    "_action", "txid", _BUCKET, "__status", "__fqn", "__ncols", "__overflow"
+)
 
 
 def _dir_version(commit_dir: str) -> int | None:

@@ -71,7 +71,7 @@ _QUARANTINE_STATUSES = (
 )
 from ..lake import LakeTable
 from ..plancache import memo
-from ..schema import StreamDef, pg_type_to_spark
+from ..schema import StreamDef, pg_type_to_spark, widened_type
 from ..state import StateStore
 from .txn import TxnBoundaryBuffer
 from pyspark.sql import types as T
@@ -230,20 +230,88 @@ class CdcPipeline:
         return apply_stream_map(df, mapping)
 
     # ------------------------------------------------------------------
-    def _discover_new_columns(
+    def _discover_evolution(
         self, classified: DataFrame, stream: StreamDef
-    ) -> list[tuple[str, str]]:
-        """Additive schema-evolution detection: column names present in the
-        batch's events but absent from the stream schema.  Full-schema
-        re-parse + distinct — runs only when the cheap width trigger in
-        the stats pass fires."""
-        known = {f.name for f in stream.spark_schema.fields}
-        pairs = discover_columns(classified, stream.fqn)
-        return [(name, pg_type) for name, pg_type in pairs if name not in known]
+    ) -> tuple[list[tuple[str, str]], list[tuple[str, str, T.DataType]]]:
+        """Schema-evolution detection over the batch's events.  Full-schema
+        re-parse + distinct — runs only when a cheap trigger in the stats
+        pass fires (the width trigger for new columns; the value-level
+        ``__overflow`` probe for type widenings, decode.py).
 
-    def _evolve(self, stream: StreamDef, new_cols: list[tuple[str, str]]) -> StreamDef:
-        fields = list(stream.spark_schema.fields)
+        Returns ``(new_cols, retyped)``:
+
+        - ``new_cols``: (name, wal2json type) absent from the stream schema
+          (the additive path, reference tap.py:693-741).
+        - ``retyped``: (name, new wal2json type, widened Spark type) for
+          KNOWN columns whose wal2json type string changed vs the recorded
+          ``pg_types`` baseline AND whose Spark type widens losslessly
+          (Postgres ``ALTER COLUMN ... TYPE int4→int8`` etc.).  The pg-type
+          STRING comparison is the change signal — comparing Spark types
+          would false-positive on deliberate mappings like
+          dates-as-string.  A batch straddling the ALTER carries both
+          types for the column; the widest wins.  A non-widening type
+          change raises (destructive evolution is out of contract, same
+          stance as schema.merge_schemas); so does a key-column change
+          (bucket placement hashes the raw key — lake/table.py)."""
+        known = {f.name: f for f in stream.spark_schema.fields}
+        pg_known = self.pg_types.get(stream.fqn, {})
+        pairs = discover_columns(classified, stream.fqn)
+        new_cols = [(n, t) for n, t in pairs if n not in known]
+        retyped: dict[str, tuple[str, T.DataType]] = {}
+        for name, pg_type in pairs:
+            field = known.get(name)
+            old_pg = pg_known.get(name)
+            if field is None or not pg_type:
+                continue
+            new_t = pg_type_to_spark(pg_type)
+            cur = retyped.get(name, ("", field.dataType))[1]
+            if new_t == cur:
+                continue
+            baseline_changed = (
+                old_pg is not None
+                and pg_type.strip().lower() != old_pg.strip().lower()
+            )
+            wide = widened_type(cur, new_t)
+            if wide is None:
+                if baseline_changed:
+                    raise TypeError(
+                        f"{stream.fqn}.{name}: wal2json type changed "
+                        f"{old_pg!r} → {pg_type!r} ({cur} → {new_t}) and "
+                        "is not a lossless widening; destructive "
+                        "evolution is out of contract"
+                    )
+                # deliberate mapping divergence (dates-as-string, enum
+                # fallback, json-as-object) or no recorded baseline —
+                # not a retype signal
+                continue
+            if wide == cur:
+                continue
+            if name in stream.key_properties:
+                raise TypeError(
+                    f"{stream.fqn}.{name}: type change on a key column "
+                    f"({old_pg!r} → {pg_type!r}); key types are frozen — "
+                    "bucket placement hashes the raw key (rebucket() is "
+                    "the rewrite path)"
+                )
+            retyped[name] = (pg_type, wide)
+        return new_cols, [(n, pg, t) for n, (pg, t) in retyped.items()]
+
+    def _evolve(
+        self,
+        stream: StreamDef,
+        new_cols: list[tuple[str, str]],
+        retyped: list[tuple[str, str, T.DataType]] = (),
+    ) -> StreamDef:
+        wide_by_name = {n: (pg, t) for n, pg, t in retyped}
         pg = dict(self.pg_types.get(stream.fqn, {}))
+        fields = []
+        for f in stream.spark_schema.fields:
+            if f.name in wide_by_name:
+                new_pg, new_t = wide_by_name[f.name]
+                fields.append(T.StructField(f.name, new_t, nullable=True))
+                pg[f.name] = new_pg
+            else:
+                fields.append(f)
         for name, pg_type in new_cols:
             fields.append(
                 T.StructField(name, pg_type_to_spark(pg_type or "text"), nullable=True)
@@ -405,6 +473,14 @@ class CdcPipeline:
                     aggs.append(
                         F.max(F.when(ok, F.col("__ncols"))).alias(f"cols.{fqn}")
                     )
+                    # value-level type-widening trigger (decode.py
+                    # _overflow_probe) — lit(0) plans for all-string
+                    # streams, so the flagship pipeline pays nothing
+                    aggs.append(
+                        F.max(F.when(ok, F.col("__overflow"))).alias(
+                            f"overflow.{fqn}"
+                        )
+                    )
                 return aggs
 
             # ~2 Columns per stream per batch — memoized (plancache.py);
@@ -562,12 +638,18 @@ class CdcPipeline:
                         if f.name not in (SDC_LSN, SDC_DELETED_AT)
                     ]
                 )
-                if width is None or width <= data_width:
+                width_fired = width is not None and width > data_width
+                # type widening (ALTER COLUMN TYPE) never changes the
+                # width; its trigger is the value-level overflow probe
+                overflow_fired = bool(obs.get.get(f"overflow.{fqn}"))
+                if not (width_fired or overflow_fired):
                     continue
-                new_cols = self._discover_new_columns(classified, stream)
-                if not new_cols:
+                new_cols, retyped = self._discover_evolution(
+                    classified, stream
+                )
+                if not new_cols and not retyped:
                     continue
-                stream = self._evolve(stream, new_cols)
+                stream = self._evolve(stream, new_cols, retyped)
                 corrected = self._apply_stream_map(
                     decode_stream(
                         classified,
@@ -608,6 +690,10 @@ class CdcPipeline:
                 if pfolded is not None:
                     pfolded.unpersist()
                 results[fqn]["evolved_columns"] = [c for c, _t in new_cols]
+                if retyped:
+                    results[fqn]["retyped_columns"] = {
+                        n: f"{pg} ({t.simpleString()})" for n, pg, t in retyped
+                    }
 
             tiered_due: dict[str, Any] = {}
             for fqn in fqns:
