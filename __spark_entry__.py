@@ -47,31 +47,157 @@ def _pin_session(spark: SparkSession) -> None:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
-    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/events.parquet"),
+        path=f"{sf_dir}/events.parquet",
+    )
 
 
-def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _input_files(path: str) -> list[str]:
+    """Parquet file list behind a read path (single file or directory)."""
+    import glob
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path] if os.path.exists(path) else []
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    if v.endswith("b"):
+        v = v[:-1]
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if v.endswith(suf):
+            v, mult = v[:-1], m
+            break
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
+def _scan_splits_estimate(spark: SparkSession, path: str) -> int:
+    """Spark's FilePartition packing formula over the file sizes — the
+    split count the scan will get, WITHOUT df.rdd.getNumPartitions()
+    (which forces a JVM RDD conversion, measured 60-700 ms per call ×
+    ~100 calls per sweep).  Only feeds the fan-out *decision*, so an
+    off-by-a-few estimate near the threshold costs at most one
+    unnecessary (or missed) repartition of a small scan."""
+    files = _input_files(path)
+    if not files:
+        return 1
+    sizes = [os.path.getsize(f) for f in files]
+    maxpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+    p = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(maxpb, max(open_cost, total // max(p, 1)))
+    est, cur = 0, 0
+    for s in sizes:
+        while s > max_split:  # parquet splits at max_split boundaries
+            est += 1
+            s -= max_split
+        cost = s + open_cost
+        if cur + cost > max_split and cur > 0:
+            est += 1
+            cur = 0
+        cur += cost
+    return max(est + (1 if cur > 0 else 0), 1)
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str | None = None) -> DataFrame:
     """Widen tiny scans to the session's parallelism.  The sf0.01/sf0.1
     tables are single-row-group parquet files → ONE scan split, which
     serializes every CPU-heavy per-row expression (measured: the md5
     char-gram sketch at sf0.1 dropped 3.2 s → 0.4 s on local[32] after
     fan-out).  Gated on the split count so it is a no-op at real scale —
     a 100-TB table scans as thousands of splits and must NOT pay a
-    whole-corpus shuffle here."""
+    whole-corpus shuffle here.  With ``path`` given the split count is
+    estimated from file sizes (no JVM round trip); the estimate only
+    drives this performance decision, never row placement."""
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    splits = (
+        _scan_splits_estimate(spark, path)
+        if path is not None
+        else df.rdd.getNumPartitions()
+    )
+    if splits < p:
         return df.repartition(p)
     return df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
-    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        path=f"{sf_dir}/documents.parquet",
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_session(spark)
-    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        path=f"{sf_dir}/embeddings.parquet",
+    )
+
+
+def _parquet_footer_max(path: str, column: str):
+    """Exact max(column) from parquet footer row-group statistics — the
+    same value a Spark ``agg(max(column))`` job computes, read in ~1 ms
+    instead of a scan+shuffle job.  Returns None (caller falls back to
+    the Spark job) when any row group lacks min/max stats."""
+    import pyarrow.parquet as pq
+
+    files = _input_files(path)
+    if not files:
+        return None
+    mx = None
+    for fp in files:
+        try:
+            md = pq.ParquetFile(fp).metadata
+        except Exception:
+            return None
+        try:
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                column
+            )
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def _parquet_num_rows(path: str):
+    """Exact row count from parquet footers (no Spark job); None when the
+    path is missing."""
+    import pyarrow.parquet as pq
+
+    files = _input_files(path)
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(fp).metadata.num_rows for fp in files)
+    except Exception:
+        return None
+
+
+def _half_max_event_id(spark: SparkSession, sf_dir: str, ev: DataFrame) -> int:
+    """The two-epoch split point max(event_id)/2 used by the lake-pipeline
+    drills, from footer stats when available (saves one scan+shuffle job
+    per drill; the value is bit-identical to the Spark agg)."""
+    mx = _parquet_footer_max(f"{sf_dir}/events.parquet", "event_id")
+    if mx is None:
+        return int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    return int(mx / 2)
 
 
 _EVENTS_SCHEMA = T.StructType(
@@ -192,7 +318,7 @@ def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin_session(spark)
     ev = _events(spark, sf_dir)
-    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    h = _half_max_event_id(spark, sf_dir, ev)
     schema = widen_for_cdc(
         T.StructType(
             [
@@ -336,9 +462,14 @@ def q_merge_partial_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_evolution=False,
         partial_updates=True,
     )
-    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    h = _half_max_event_id(spark, sf_dir, ev)
+    # persist the feed: both epochs re-scan it, and rebuilding it costs
+    # two window shuffles + a to_json pass per scan (guide §2.4 — one
+    # materialization instead of two recomputes)
+    feed = feed.persist()
     pipeline.apply_batch(feed.filter(F.col("lsn") <= h), epoch_id="t1")
     pipeline.apply_batch(feed.filter(F.col("lsn") > h), epoch_id="t2")
+    feed.unpersist()
     # integer fixed-point outputs (driver-hash parity: no doubles)
     return table.read().select(
         "user_id",
@@ -456,9 +587,13 @@ def q_merge_key_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_evolution=False,
         key_updates=True,
     )
-    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    h = _half_max_event_id(spark, sf_dir, ev)
+    # persist the feed: both epochs re-scan it (two window shuffles + a
+    # to_json pass per rebuild otherwise — guide §2.4)
+    feed = feed.persist()
     pipeline.apply_batch(feed.filter(F.col("lsn") <= h), epoch_id="k1")
     pipeline.apply_batch(feed.filter(F.col("lsn") > h), epoch_id="k2")
+    feed.unpersist()
     return table.read().select(
         "user_id",
         F.col("_sdc_lsn").alias("last_event_id"),
@@ -484,7 +619,7 @@ def q_derived_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin_session(spark)
     ev = _events(spark, sf_dir)
-    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    h = _half_max_event_id(spark, sf_dir, ev)
     schema = widen_for_cdc(
         T.StructType(
             [
@@ -542,7 +677,7 @@ def q_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin_session(spark)
     ev = _events(spark, sf_dir)
-    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    h = _half_max_event_id(spark, sf_dir, ev)
     schema = widen_for_cdc(
         T.StructType(
             [
@@ -605,7 +740,7 @@ def q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin_session(spark)
     ev = _events(spark, sf_dir)
-    h = int(ev.agg((F.max("event_id") / 2).cast("long")).first()[0])
+    h = _half_max_event_id(spark, sf_dir, ev)
     snap = (
         ev.filter(F.col("event_id") <= h)
         .groupBy("user_id")
@@ -975,7 +1110,35 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
+def _emb_lookup(sf_dir: str, vec_ids: list[int]) -> dict[int, list[float]] | None:
+    """Point-read embedding rows straight off the parquet file (pyarrow,
+    row-group pruned) — the values are bit-identical to a Spark
+    filter+collect, without paying a scan+shuffle job per query vector.
+    Returns None on any surprise (caller falls back to the Spark job)."""
+    import pyarrow.parquet as pq
+
+    files = _input_files(f"{sf_dir}/embeddings.parquet")
+    if not files:
+        return None
+    try:
+        out: dict[int, list[float]] = {}
+        for fp in files:
+            t = pq.read_table(
+                fp,
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "in", list(vec_ids))],
+            )
+            for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+                out[int(i)] = [float(x) for x in v]
+        return out if len(out) == len(set(vec_ids)) else None
+    except Exception:
+        return None
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    hit = _emb_lookup(sf_dir, [vec_id])
+    if hit is not None:
+        return hit[vec_id]
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).collect()[0]
     return list(row["embedding"])
 
@@ -1005,6 +1168,13 @@ _TOPK_PLANES = 4
 _TOPK_SEED = 7
 
 
+def _emb_count(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
+    """Corpus size for the scale-adaptive LSH width, from parquet footer
+    row counts (saves a count job per query; identical value)."""
+    n = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    return int(n) if n is not None else emb.count()
+
+
 def _nd_planes(n: int) -> int:
     """Scale-adaptive hash-table width: target ~8 vectors per bucket per
     table (planes = ceil(log2(n/8)), floor ``_ND_PLANES``) — the knob a
@@ -1025,7 +1195,7 @@ def q_neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return vectorops.neardup_pairs_lsh(
         emb, dim=_LSH_DIM, threshold=_ND_THRESHOLD,
-        n_planes=_nd_planes(emb.count()), seeds=_ND_SEEDS, round_to=4,
+        n_planes=_nd_planes(_emb_count(spark, sf_dir, emb)), seeds=_ND_SEEDS, round_to=4,
         max_bucket_size=_ND_MAX_BUCKET,
     )
 
@@ -1036,7 +1206,7 @@ def q_neardup_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return vectorops.lsh_oversized_buckets(
         emb, dim=_LSH_DIM,
-        n_planes=_nd_planes(emb.count()), seeds=_ND_SEEDS,
+        n_planes=_nd_planes(_emb_count(spark, sf_dir, emb)), seeds=_ND_SEEDS,
         max_bucket_size=_ND_MAX_BUCKET,
     )
 
@@ -1048,7 +1218,7 @@ def q_emb_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return vectorops.neardup_dedup_keep(
         emb, dim=_LSH_DIM, threshold=_ND_THRESHOLD,
-        n_planes=_nd_planes(emb.count()), seeds=_ND_SEEDS, round_to=4,
+        n_planes=_nd_planes(_emb_count(spark, sf_dir, emb)), seeds=_ND_SEEDS, round_to=4,
         max_bucket_size=_ND_MAX_BUCKET,
     )
 
@@ -1074,9 +1244,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cids = [0, 50, 100, 150]
-    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
-        F.col("vec_id").isin(cids)
-    ).collect()}
+    rows = _emb_lookup(sf_dir, cids)
+    if rows is None:
+        rows = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
+            F.col("vec_id").isin(cids)
+        ).collect()}
     centroids = [(cid, rows[cid]) for cid in cids]
     q = _query_vec(spark, sf_dir, 7)
     return vectorops.ivf_topk(emb, q, centroids, k=10, n_probe=1, round_to=4)
@@ -1181,9 +1353,11 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     data and m bytes per survivor."""
     emb = _emb(spark, sf_dir)
     cids = [0, 50, 100, 150]
-    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
-        F.col("vec_id").isin(cids)
-    ).collect()}
+    rows = _emb_lookup(sf_dir, cids)
+    if rows is None:
+        rows = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
+            F.col("vec_id").isin(cids)
+        ).collect()}
     centroids = [(cid, rows[cid]) for cid in cids]
     cbs = vectorops.pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
     q = _query_vec(spark, sf_dir, 7)

@@ -30,6 +30,7 @@ import math
 import struct
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,7 +65,7 @@ def decode_wav(data: bytes) -> dict:
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
-    samples: list[int] | None = None
+    samples: "np.ndarray | None" = None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
@@ -80,14 +81,17 @@ def decode_wav(data: bytes) -> dict:
             fmt = (channels, sample_rate)
         elif cid == b"data":
             n = len(body) // 2
-            samples = list(struct.unpack(f"<{n}h", body[: n * 2]))
+            samples = np.frombuffer(body, dtype="<i2", count=n)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or samples is None:
         raise ValueError("missing fmt/data chunk")
     channels, sample_rate = fmt
     n = len(samples)
-    mean = sum(samples) / n if n else 0.0
-    rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+    # int64 sums are exact (n·32768² ≪ 2^63), so mean/rms are
+    # bit-identical to the previous scalar-loop form
+    s64 = samples.astype(np.int64)
+    mean = int(s64.sum()) / n if n else 0.0
+    rms = math.sqrt(int((s64 * s64).sum()) / n) if n else 0.0
     return {
         "n_samples": n,
         "sample_rate": sample_rate,
@@ -133,12 +137,14 @@ def decode_ppm(data: bytes) -> dict:
     if len(body) != need:
         raise ValueError("truncated pixel data")
     n = width * height
+    px = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
     return {
         "width": width,
         "height": height,
-        "mean_r": sum(body[0::3]) / n,
-        "mean_g": sum(body[1::3]) / n,
-        "mean_b": sum(body[2::3]) / n,
+        # exact int sums → identical to the former sum(slice)/n
+        "mean_r": int(px[0::3].sum()) / n,
+        "mean_g": int(px[1::3].sum()) / n,
+        "mean_b": int(px[2::3].sum()) / n,
     }
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -259,12 +265,14 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("decompressed size mismatch")
     body = _png_unfilter(raw, width, height)
     n = width * height
+    px = np.frombuffer(bytes(body), dtype=np.uint8).astype(np.int64)
     return {
         "width": width,
         "height": height,
-        "mean_r": sum(body[0::3]) / n,
-        "mean_g": sum(body[1::3]) / n,
-        "mean_b": sum(body[2::3]) / n,
+        # exact int sums → identical to the former sum(slice)/n
+        "mean_r": int(px[0::3].sum()) / n,
+        "mean_g": int(px[1::3].sum()) / n,
+        "mean_b": int(px[2::3].sum()) / n,
     }
 
 
@@ -331,9 +339,11 @@ def decode_y4m(data: bytes) -> dict:
             raise ValueError(
                 f"truncated frame {n_frames}: {len(body)} < {frame_bytes} bytes"
             )
-        for b in body[:luma]:
-            s += b
-            s2 += b * b
+        # vectorized luma stats (exact int64 sums — identical to the
+        # former per-byte loop, which dominated the decode profile)
+        plane = np.frombuffer(body, dtype=np.uint8, count=luma).astype(np.int64)
+        s += int(plane.sum())
+        s2 += int((plane * plane).sum())
         n_frames += 1
         pos = fnl + 1 + frame_bytes
     if n_frames == 0:
@@ -434,13 +444,17 @@ MEDIA_SCHEMA = T.StructType(
 
 def synth_samples(media_id: int, n: int = 128) -> list[int]:
     """Deterministic int16 sample synth (LCG-ish, SQL-replicable:
-    ((id*7919 + i*104729) % 65536) - 32768)."""
-    return [((media_id * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+    ((id*7919 + i*104729) % 65536) - 32768).  Vectorized (numpy): the
+    per-row Python loop was the hot spot of the wav encode stage."""
+    arr = (media_id * 7919 + np.arange(n, dtype=np.int64) * 104729) % 65536 - 32768
+    return arr.tolist()
 
 
 def synth_pixels(media_id: int, width: int, height: int) -> bytes:
-    """Deterministic RGB bytes: (id*31 + p*97) % 256 per byte position."""
-    return bytes(((media_id * 31 + p * 97) % 256) for p in range(width * height * 3))
+    """Deterministic RGB bytes: (id*31 + p*97) % 256 per byte position.
+    Vectorized (numpy) — same bytes as the scalar loop."""
+    p = np.arange(width * height * 3, dtype=np.int64)
+    return ((media_id * 31 + p * 97) % 256).astype(np.uint8).tobytes()
 
 
 def synth_frames(

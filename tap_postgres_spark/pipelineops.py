@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions import md5_60bit
 from .textops import tokens
@@ -880,6 +881,7 @@ def neardup_clusters(
     b_col: str = "b",
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    small_graph_limit: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: cluster id =
     min doc id reachable through the pair graph (the step after LSH pair
@@ -907,6 +909,51 @@ def neardup_clusters(
     # (LSH banding etc.) — as does every propagation round without the
     # edge cache (measured 16.7s → ~3s at sf0.01)
     p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
+    # Size-gated strategy switch (the broadcast-join rule applied to CC):
+    # a pair list comfortably inside driver memory is solved with one
+    # bounded collect + union-find — every iterative round otherwise
+    # costs a shuffle join, a checkpoint and a driver action, ~1 s of
+    # fixed overhead per round for a graph that fits in one task.  The
+    # result is identical by construction: union-find with the minimum
+    # id as the root IS min-label propagation run to convergence.  At
+    # 10^10-doc scale the pair list exceeds the cap and the iterative
+    # O(diameter)-round path below runs unchanged (cap = 200k edges ×
+    # ~16 bytes ≈ 3 MB collected — the same order as a broadcast side).
+    n_pairs = p.count()
+    if n_pairs <= small_graph_limit:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in p.collect():
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # keep the MIN id as the root → root == component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out_rows = [(i, find(i)) for i in parent]
+        a_field = p.schema["a"]
+        out_schema = T.StructType(
+            [
+                T.StructField("id", a_field.dataType, a_field.nullable),
+                T.StructField("cluster_id", a_field.dataType, a_field.nullable),
+            ]
+        )
+        spark = pairs.sparkSession
+        p.unpersist()
+        return spark.createDataFrame(out_rows, out_schema)
     edges = (
         p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(p.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -308,15 +308,38 @@ def test_neardup_clusters_reliable_checkpoint_path(spark, tmp_path):
     )
     local = {
         r["id"]: r["cluster_id"]
-        for r in pipelineops.neardup_clusters(pairs).collect()
+        for r in pipelineops.neardup_clusters(
+            pairs, small_graph_limit=0
+        ).collect()
     }
     reliable = {
         r["id"]: r["cluster_id"]
-        for r in pipelineops.neardup_clusters(pairs, checkpoint_dir=ckpt).collect()
+        for r in pipelineops.neardup_clusters(
+            pairs, checkpoint_dir=ckpt, small_graph_limit=0
+        ).collect()
     }
     assert reliable == local
     # reliable checkpoints really landed on (shared) storage
     assert any(files for _, _, files in os.walk(ckpt))
+
+
+def test_neardup_clusters_small_graph_fast_path_matches_iterative(spark):
+    """The size-gated union-find fast path must return exactly the
+    iterative min-label propagation result (ids, labels, schema)."""
+    pairs = spark.createDataFrame(
+        # two chains, one triangle-with-tail, one isolated edge, plus a
+        # pair list ordering that exercises non-min-first unions
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (20, 22), (22, 21),
+         (21, 20), (22, 23), (40, 41)],
+        "a long, b long",
+    )
+    fast = pipelineops.neardup_clusters(pairs)  # under the default gate
+    slow = pipelineops.neardup_clusters(pairs, small_graph_limit=0)
+    assert fast.schema == slow.schema
+    f = {r["id"]: r["cluster_id"] for r in fast.collect()}
+    s = {r["id"]: r["cluster_id"] for r in slow.collect()}
+    assert f == s
+    assert f[5] == 1 and f[23] == 20 and f[41] == 40 and f[11] == 10
 
 
 def test_pack_sequences_boundaries(spark):
