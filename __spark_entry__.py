@@ -1264,7 +1264,8 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT round-1 item #8) instead of caller-supplied ones."""
     emb = _emb(spark, sf_dir)
     cents = vectorops.train_centroids(
-        emb, k=_KM_K, n_iter=_KM_ITER, round_to=_KM_ROUND
+        emb, k=_KM_K, n_iter=_KM_ITER, round_to=_KM_ROUND,
+        n_rows=_emb_count(spark, sf_dir, emb),
     )
     q = _query_vec(spark, sf_dir, 7)
     return vectorops.ivf_topk(
@@ -1322,9 +1323,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors: k-means clusters block the pairwise cosine
     comparison; the higher id of every within-cluster pair above the
     threshold drops.  Same trained centroids as ivf_topk_trained."""
+    emb = _emb(spark, sf_dir)
     return vectorops.semantic_dedup(
-        _emb(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER,
+        emb, k=_KM_K, n_iter=_KM_ITER,
         threshold=_SD_THRESHOLD, assign_round_to=_KM_ROUND, round_to=6,
+        n_rows=_emb_count(spark, sf_dir, emb),
     )
 
 
@@ -1338,10 +1341,12 @@ def q_semantic_dedup_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the cap are re-clustered with a fresh per-subset Lloyd training
     and pairwise-compared at depth 2 instead of skipped.  Oracle = the
     same two levels unrolled as SQL CTE chains."""
+    emb = _emb(spark, sf_dir)
     return vectorops.semantic_dedup_recursive(
-        _emb(spark, sf_dir), k=_KM_K, n_iter=_KM_ITER,
+        emb, k=_KM_K, n_iter=_KM_ITER,
         threshold=_SD_THRESHOLD, assign_round_to=_KM_ROUND, round_to=6,
         max_cluster_size=_SD_MAXC, max_depth=2,
+        n_rows=_emb_count(spark, sf_dir, emb),
     )
 
 

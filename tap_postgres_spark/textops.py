@@ -499,7 +499,9 @@ def minhash_lsh_oversized_buckets(
     materializing its O(n²) pairs).  Pass a prebuilt/persisted ``banded``
     relation to share the signature computation with other consumers."""
     if banded is None:
-        banded = minhash_banded(
+        # rowwise banding (byte-identical, zero shuffles): consumed once
+        # by the count aggregate below
+        banded = minhash_banded_rowwise(
             df, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         )
@@ -549,7 +551,11 @@ def minhash_lsh_pairs(
     but truncates lineage (see neardup_clusters for the same pattern).
     """
     if banded is None:
-        banded = minhash_banded(
+        # rowwise banding (byte-identical; pinned in
+        # tests/test_streaming_windowed.py): skips the exploded-shingle
+        # shuffle + groupBy of the agg form — the banded relation goes
+        # straight from the scan into the checkpoint with zero exchanges
+        banded = minhash_banded_rowwise(
             df, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         ).localCheckpoint()
@@ -609,7 +615,10 @@ def minhash_dedup_keep(
     pairs with an exact cosine filter, so its pair losers are a strict
     subset of bucket non-minima and the two rules stay separate there."""
     del max_bucket_size  # result is cap-independent; see docstring
-    banded = minhash_banded(
+    # rowwise banding (byte-identical, zero shuffles) — the banded
+    # relation is consumed once, so the exploded-agg form's shingle
+    # shuffle bought nothing here
+    banded = minhash_banded_rowwise(
         df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
     )

@@ -313,6 +313,70 @@ def ivf_assign(
     )
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's round(double, nd): HALF_UP over the shortest decimal
+    representation (BigDecimal.valueOf(d) == new BigDecimal(
+    Double.toString(d)); Python's repr is the same shortest round-trip
+    decimal)."""
+    import decimal
+
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        return x  # Spark round() passes NaN/Inf through
+    q = decimal.Decimal(1).scaleb(-nd)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _train_centroids_local(
+    rows: list,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> list[tuple[int, list[float]]]:
+    """Driver-local twin of the distributed Lloyd loop below — same
+    deterministic recipe (k-smallest-id seeds, cosine argmax with
+    similarities rounded HALF_UP before the tie-broken pick, per-dim
+    means rounded to ``round_to``, empty clusters dropped).  The
+    ``round_to`` rounding is what makes the recipe engine-replayable in
+    the first place (it absorbs last-ulp summation-order differences —
+    the same tolerance the DuckDB oracle and the pandas/expr assignment
+    crossover already rely on), so a BLAS-summed similarity rounds to
+    the identical grid value the codegen'd fold produces."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    if V.size == 0:
+        return []
+    vnorm = np.sqrt((V * V).sum(axis=1))
+    centroids = [(i, [float(x) for x in V[j]]) for i, j in enumerate(range(min(k, len(ids))))]
+    for _ in range(n_iter):
+        C = np.asarray([c for _cid, c in centroids], dtype=np.float64)
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        denom = np.outer(vnorm, cnorm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (V @ C.T) / denom  # IEEE inf/nan, same as Spark doubles
+        rounded = np.vectorize(lambda s: _round_half_up(s, round_to))(sims)
+        # first index of the row max == lowest centroid id on ties
+        # (array_position(sims, array_max(sims)) semantics)
+        pick = rounded.argmax(axis=1)
+        cids = np.asarray([cid for cid, _c in centroids])[pick]
+        new: list[tuple[int, list[float]]] = []
+        for cid in sorted(set(int(c) for c in cids)):
+            members = V[cids == cid]
+            mean = members.mean(axis=0)
+            new.append(
+                (cid, [_round_half_up(m, round_to) for m in mean])
+            )
+        centroids = new
+    return centroids
+
+
 def train_centroids(
     df: DataFrame,
     k: int = 4,
@@ -321,6 +385,8 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    n_rows: int | None = None,
+    local_limit: int = 100_000,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over cosine assignment — the centroid *training*
     the round-1 verdict flagged as missing from the IVF stack.
@@ -345,6 +411,18 @@ def train_centroids(
     k×dim literal expression tree would not even build) for the next
     assignment pass.
     """
+    if n_rows is not None and 0 < n_rows <= local_limit:
+        # Size-gated local twin (the broadcast-join rule applied to
+        # training): the full corpus fits comfortably on the driver
+        # (≤ local_limit rows ≈ tens of MB at 64 dims), so ONE bounded
+        # collect replaces 1 + 2·n_iter Spark jobs of fixed overhead.
+        # At index scale the caller has no (or a too-large) row-count
+        # hint and the distributed loop below runs unchanged.
+        rows = [
+            (r[0], [float(x) for x in r[1]])
+            for r in df.select(id_col, vec_col).collect()
+        ]
+        return _train_centroids_local(rows, k, n_iter, id_col, vec_col, round_to)
     seed_rows = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     centroids = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)
@@ -1126,6 +1204,7 @@ def semantic_dedup(
     assign_round_to: int = 6,
     round_to: int = 6,
     max_cluster_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, compare
@@ -1159,7 +1238,7 @@ def semantic_dedup(
     """
     cents = train_centroids(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        round_to=assign_round_to,
+        round_to=assign_round_to, n_rows=n_rows,
     )
     # materialize the assignment once: the blocked pair join consumes it
     # on BOTH self-join sides (plus the cap count), and without the
@@ -1222,6 +1301,7 @@ def semantic_dedup_recursive(
     round_to: int = 6,
     max_cluster_size: int = 100,
     max_depth: int = 2,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with the oversized-cluster loop CLOSED:
     clusters exceeding ``max_cluster_size`` are re-clustered (a fresh
@@ -1250,9 +1330,13 @@ def semantic_dedup_recursive(
     remaining = df.select(id_col, vec_col)
     drops: DataFrame | None = None
     for _depth in range(max_depth):
+        # depth 0 can use the caller's row-count hint; deeper levels are
+        # oversized-cluster subsets of a checkpointed assignment — one
+        # cheap count() enables the local trainer when they are small
+        lvl_rows = n_rows if _depth == 0 else remaining.count()
         cents = train_centroids(
             remaining, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-            round_to=assign_round_to,
+            round_to=assign_round_to, n_rows=lvl_rows,
         )
         if not cents:
             break

@@ -218,6 +218,31 @@ def test_train_centroids_deterministic_and_improves_assignment(spark, emb):
     assert mean_sim(c1) >= mean_sim(seeds) - 1e-9
 
 
+def test_train_centroids_local_twin_matches_distributed(spark, emb):
+    """The size-gated driver-local Lloyd twin (n_rows hint within
+    local_limit) must return exactly the distributed loop's centroids."""
+    dist = vectorops.train_centroids(emb, k=4, n_iter=2, round_to=6)
+    n = emb.count()
+    local = vectorops.train_centroids(
+        emb, k=4, n_iter=2, round_to=6, n_rows=n
+    )
+    assert local == dist
+    # over-limit hint falls back to the distributed path (same result)
+    over = vectorops.train_centroids(
+        emb, k=4, n_iter=2, round_to=6, n_rows=n, local_limit=n - 1
+    )
+    assert over == dist
+
+
+def test_train_centroids_local_twin_drops_empty_clusters(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)]
+    rows += [(10 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dist = vectorops.train_centroids(df, k=3, n_iter=2)
+    local = vectorops.train_centroids(df, k=3, n_iter=2, n_rows=6)
+    assert local == dist
+
+
 def test_train_centroids_drops_empty_clusters(spark):
     # two tight groups + k=3 seeds: one seed's cluster is absorbed
     rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)]
