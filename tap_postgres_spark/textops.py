@@ -675,21 +675,29 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bi
     width).  The per-bit sum is expressed as SUM over (2*bit-1) terms so
     the DuckDB oracle is the identical arithmetic.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
-    h = tok.withColumn("h", md5_60bit(F.col("t")))
-    aggs = [
-        F.sum(
-            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = h.groupBy(id_col).agg(*aggs)
+    # Rowwise form (zero shuffles): the token hashes materialize once
+    # into an array, each bit's ±1 contribution is an integer array
+    # fold.  Integer sums are order-independent, so this is exactly the
+    # explode→groupBy arithmetic without the exploded-token exchange
+    # (the former shape shuffled the whole (id, token) relation).
+    # size>0 filter replicates the explode→groupBy cardinality exactly:
+    # a zero-token document produced no exploded rows, hence no group
+    h = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: md5_60bit(t)).alias("_hs"),
+    ).filter(F.size(F.col("_hs")) > 0)
     packed = None
     for i in range(bits):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        s_i = F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("long"),
+            lambda acc, hv: acc
+            + (F.shiftrightunsigned(hv, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bit = F.when(s_i > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed + term
-    return sums.select(F.col(id_col), packed.alias("simhash"))
+    return h.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_chunks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
