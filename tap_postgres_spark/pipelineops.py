@@ -156,25 +156,43 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("dup_word_ratio"),
         _bigrams(F.col("__toks")).alias("bgs"),
     )
-    bg_counts = (
-        base.select("doc_id", F.explode("bgs").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .count()
+    # Rowwise top-bigram count (guide §2.4 — remove shuffles outright):
+    # the per-(doc, bigram) multiplicity max is the longest equal-run of
+    # the SORTED per-row bigram array — one sequential fold per row, no
+    # explode, no groupBy pair, no join back.  max(count) ≡ longest run;
+    # sum(count) ≡ size(bgs); a <2-token doc has an empty array → the
+    # same coalesce(…, 0.0) the former left join produced.
+    run_fold = F.aggregate(
+        F.array_sort(F.col("bgs")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    bg_top = bg_counts.groupBy("doc_id").agg(
-        F.max("count").alias("top_bg"), F.sum("count").alias("n_bg")
-    )
-    return (
-        base.drop("bgs")
-        .join(bg_top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_word_ratio",
-            F.round(
-                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
-            ).alias("top_bigram_ratio"),
-        )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_ratio",
+        F.round(
+            F.coalesce(
+                F.when(F.size("bgs") > 0, run_fold / F.size("bgs")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("top_bigram_ratio"),
     )
 
 
