@@ -130,7 +130,9 @@ def prepare_grouped_fused(
                 table_schema, batch_schema, frozen=meta["key_columns"]
             )
         except TypeError:
-            return None  # widening cast needed → per-stream path
+            # destructive or key-frozen evolution → per-stream path
+            # (which raises); lossless widenings resolve in merge_schemas
+            return None
         # a pre-existing table column whose type differs from the fused
         # decode's output would need a cast the shared projection can't
         # express per-stream

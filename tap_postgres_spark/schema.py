@@ -253,8 +253,14 @@ def merge_schemas(
             )
         if wide != have:
             old = out[pos[f.name]]
+            # preserve the base field's nullability (ADVICE r05): a
+            # widening never makes a non-nullable column nullable by
+            # itself — widen_for_cdc already nullable-izes CDC columns,
+            # so this only matters for non-CDC callers
             out[pos[f.name]] = T.StructField(
-                old.name, wide, nullable=True, metadata=old.metadata
+                old.name, wide,
+                nullable=old.nullable or f.nullable,
+                metadata=old.metadata,
             )
     return T.StructType(out)
 
