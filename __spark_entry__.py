@@ -1135,6 +1135,29 @@ def _emb_lookup(sf_dir: str, vec_ids: list[int]) -> dict[int, list[float]] | Non
         return None
 
 
+def _emb_lowest(sf_dir: str, k: int) -> list[tuple[int, list[float]]] | None:
+    """The k lowest-id (vec_id, embedding) rows straight off parquet —
+    exactly what ``orderBy(vec_id).limit(k).collect()`` returns, without
+    the TakeOrdered job.  None on any surprise (caller falls back)."""
+    import pyarrow.parquet as pq
+
+    files = _input_files(f"{sf_dir}/embeddings.parquet")
+    if not files:
+        return None
+    try:
+        rows: list[tuple[int, list[float]]] = []
+        for fp in files:
+            t = pq.read_table(fp, columns=["vec_id", "embedding"])
+            rows.extend(
+                (int(i), [float(x) for x in v])
+                for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+            )
+        rows.sort(key=lambda r: r[0])
+        return rows[:k] if len(rows) >= k else None
+    except Exception:
+        return None
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     hit = _emb_lookup(sf_dir, [vec_id])
     if hit is not None:
@@ -1309,7 +1332,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, via per-subspace lookup tables against the full-precision
     query."""
     emb = _emb(spark, sf_dir)
-    cbs = vectorops.pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    cbs = vectorops.pq_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, seed_rows=_emb_lowest(sf_dir, _PQ_K)
+    )
     q = _query_vec(spark, sf_dir, 0)
     return vectorops.pq_adc_topk(
         emb, q, cbs, k=10, encode_round_to=_PQ_ENC_ROUND, round_to=4
@@ -1364,7 +1389,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").isin(cids)
         ).collect()}
     centroids = [(cid, rows[cid]) for cid in cids]
-    cbs = vectorops.pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    cbs = vectorops.pq_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, seed_rows=_emb_lowest(sf_dir, _PQ_K)
+    )
     q = _query_vec(spark, sf_dir, 7)
     return vectorops.ivf_pq_topk(
         emb, q, centroids, cbs, k=10, n_probe=1,

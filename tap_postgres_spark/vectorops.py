@@ -1050,21 +1050,30 @@ def pq_codebooks(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rows: "list[tuple[int, list[float]]] | None" = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Deterministic PQ codebooks: subspace ``s``'s centroids are the
     ``k`` lowest-id vectors' ``s``-th subvector slices (cid = rank by
     id).  Sampling-as-seeding keeps both engines bit-reproducible — swap
     in :func:`train_centroids` per subspace for trained codebooks; the
-    encode/ADC machinery is unchanged."""
-    rows = df.orderBy(F.col(id_col).asc()).limit(k).collect()
-    dim = len(rows[0][vec_col])
+    encode/ADC machinery is unchanged.  ``seed_rows`` lets a caller that
+    already has the k-lowest (id, vector) rows (e.g. from a parquet
+    point read) skip the TakeOrdered job; rows must be the id-ascending
+    k-smallest, exactly what the job would return."""
+    if seed_rows is None:
+        collected = df.orderBy(F.col(id_col).asc()).limit(k).collect()
+        seed_rows = [
+            (r[id_col], [float(x) for x in r[vec_col]]) for r in collected
+        ]
+    vecs = [list(v) for _i, v in seed_rows]
+    dim = len(vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     return [
         [
-            (cid, [float(x) for x in r[vec_col]][s * sub : (s + 1) * sub])
-            for cid, r in enumerate(rows)
+            (cid, [float(x) for x in v][s * sub : (s + 1) * sub])
+            for cid, v in enumerate(vecs)
         ]
         for s in range(m)
     ]
