@@ -676,28 +676,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bi
     the DuckDB oracle is the identical arithmetic.
     """
     # Rowwise form (zero shuffles): the token hashes materialize once
-    # into an array, each bit's ±1 contribution is an integer array
-    # fold.  Integer sums are order-independent, so this is exactly the
-    # explode→groupBy arithmetic without the exploded-token exchange
-    # (the former shape shuffled the whole (id, token) relation).
-    # size>0 filter replicates the explode→groupBy cardinality exactly:
-    # a zero-token document produced no exploded rows, hence no group
+    # into an array; ONE array fold accumulates all ``bits`` per-bit ±1
+    # sums into a length-``bits`` vector, then a second fold packs the
+    # sign bits.  Integer sums are order-independent, so this is exactly
+    # the explode→groupBy arithmetic without the exploded-token exchange
+    # (the former shape shuffled the whole (id, token) relation; an
+    # intermediate form with ``bits`` SEPARATE aggregate() lambdas
+    # measured ~1 s MORE first-run cost than either — expression-tree
+    # size, not arithmetic).  size>0 filter replicates the
+    # explode→groupBy cardinality exactly: a zero-token document
+    # produced no exploded rows, hence no group.
     h = df.select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), lambda t: md5_60bit(t)).alias("_hs"),
     ).filter(F.size(F.col("_hs")) > 0)
-    packed = None
-    for i in range(bits):
-        s_i = F.aggregate(
-            F.col("_hs"),
-            F.lit(0).cast("long"),
-            lambda acc, hv: acc
-            + (F.shiftrightunsigned(hv, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        bit = F.when(s_i > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else packed + term
-    return h.select(F.col(id_col), packed.alias("simhash"))
+    sums = (
+        f"aggregate(_hs, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), "
+        f"i -> (shiftrightunsigned(h, i) & CAST(1 AS BIGINT)) * 2 - 1), "
+        f"(a, b) -> a + b))"
+    )
+    packed = (
+        f"aggregate(zip_with({sums}, sequence(0, {bits - 1}), "
+        f"(s, i) -> shiftleft(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, i)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    return h.select(F.col(id_col), F.expr(packed).alias("simhash"))
 
 
 def simhash_chunks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
@@ -750,6 +755,13 @@ def simhash_neardup_pairs(
     blocked = s.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("b")
     ).select(id_col, "simhash", F.col("b.ck").alias("ck"), F.col("b.cv").alias("cv"))
+    # materialize once before the self-join (same rationale as
+    # minhash_lsh_pairs): both join sides otherwise carry the full
+    # rowwise ``bits``-fold signature subtree — twice the codegen and,
+    # when exchange reuse doesn't fire, twice the compute.  The
+    # checkpointed rows are (id, hash, ck, cv) scalars — (max_hamming+1)
+    # rows per doc.
+    blocked = blocked.localCheckpoint()
     a = blocked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "ck", "cv")
     b = blocked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "ck", "cv")
     return (
