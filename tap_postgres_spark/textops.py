@@ -334,6 +334,45 @@ def minhash_signature_cols(
     ]
 
 
+def minhash_signature_array(
+    text: Column, *, num_hashes: int = 16, shingle_k: int = 3
+) -> Column:
+    """All ``num_hashes`` MinHash components as ONE ``array<long>``
+    column, via a single fold over the shingle-hash array.
+
+    Value-identical to :func:`minhash_signature_cols` (pinned in tests):
+    per component i, min over the same permuted-hash multiset with the
+    same long arithmetic.  Structurally better twice over: the md5 per
+    shingle is evaluated ONCE (the per-column form embeds its own copy
+    of the shingle-hash subtree in every component — higher-order
+    functions get no common-subexpression elimination), and the plan
+    carries one fold expression instead of ``num_hashes`` — measured
+    ~1 s of first-execution cost on the banding queries (expression
+    size, same lesson as the simhash single-fold)."""
+    fam = _hash_family(num_hashes)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in fam])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in fam])
+    harr = F.transform(shingles(text, shingle_k), lambda s: md5_60bit(s))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+
+    def step(acc: Column, h: Column) -> Column:
+        perms = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: (
+                F.element_at(a_arr, (i + 1).cast("int")) * (h % _MERSENNE)
+                + F.element_at(b_arr, (i + 1).cast("int"))
+            )
+            % _MERSENNE,
+        )
+        return F.zip_with(acc, perms, lambda m, v: F.least(m, v))
+
+    # perm values lie in [0, _MERSENNE-1], so _MERSENNE is +infinity for
+    # the running min; shingles() never yields an empty array (a <k-token
+    # document produces its single joined-tokens shingle), and a NULL
+    # text propagates NULL through the fold exactly like array_min.
+    return F.aggregate(harr, init, step)
+
+
 def minhash_banded_rowwise(
     df: DataFrame,
     text_col: str = "text",
@@ -343,7 +382,7 @@ def minhash_banded_rowwise(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, band, key) banding via :func:`minhash_signature_cols` —
+    """(id, band, key) banding via :func:`minhash_signature_array` —
     byte-identical to :func:`minhash_banded` with zero shuffles (explode
     of ``bands`` structs per row only).  The streaming probe twin and
     any per-row pipeline stage use this; see the sibling's docstring for
@@ -351,16 +390,19 @@ def minhash_banded_rowwise(
     rows_per_band = num_hashes // bands
     sig = df.select(
         *_ids(id_col),
-        *minhash_signature_cols(
+        minhash_signature_array(
             F.col(text_col), num_hashes=num_hashes, shingle_k=shingle_k
-        ),
+        ).alias("_mh"),
     )
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
             F.concat_ws(
                 ",",
-                *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)],
+                *[
+                    F.element_at(F.col("_mh"), bi * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
             ).alias("key"),
         )
         for bi in range(bands)
